@@ -1,0 +1,89 @@
+"""Horizontal bilinear + quadratic-in-time interpolation.
+
+Reference: ``setInterp``/``getInterp`` (bilinear weights within the
+containing quad element, per grid and time level) and ``polintd``
+(2nd-order Lagrange polynomial through the 3 buffered time records),
+hydrodynamic_module.f90 (SURVEY.md SS2.1 #3 [conf: H mechanisms]).
+
+Everything is batched over particles; gathers are plain advanced
+indexing that XLA lowers to dynamic-gather (the Pallas fused kernel in
+ltjax.kernels.gather_interp replaces the hot composite on TPU).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .grid import Grid, locate
+
+
+def bilinear_weights(fx, fy):
+    """4 corner weights, order (j,i),(j,i+1),(j+1,i),(j+1,i+1)."""
+    w00 = (1.0 - fx) * (1.0 - fy)
+    w01 = fx * (1.0 - fy)
+    w10 = (1.0 - fx) * fy
+    w11 = fx * fy
+    return w00, w01, w10, w11
+
+
+def interp2d(field, i, j, fx, fy):
+    """Bilinear interp of ``field[..., eta, xi]`` at fractional cells.
+
+    field: (..., Ny, Nx); i/j/fx/fy: (N,). Leading field axes broadcast;
+    returns (..., N).
+    """
+    f00 = field[..., j, i]
+    f01 = field[..., j, i + 1]
+    f10 = field[..., j + 1, i]
+    f11 = field[..., j + 1, i + 1]
+    w00, w01, w10, w11 = bilinear_weights(fx, fy)
+    return f00 * w00 + f01 * w01 + f10 * w10 + f11 * w11
+
+
+def interp_columns(field, i, j, fx, fy):
+    """Bilinear interp of a level-resolved field to particle columns.
+
+    field: (..., K, Ny, Nx);  returns (..., N, K) vertical profiles at
+    each particle (the reference's per-s-level getInterp loop inside
+    WCTS_ITPI, vectorized).
+    """
+    # gather (..., K, N) then move K last
+    f00 = field[..., :, j, i]
+    f01 = field[..., :, j, i + 1]
+    f10 = field[..., :, j + 1, i]
+    f11 = field[..., :, j + 1, i + 1]
+    w00, w01, w10, w11 = bilinear_weights(fx, fy)
+    prof = (f00 * w00 + f01 * w01 + f10 * w10 + f11 * w11)
+    return jnp.moveaxis(prof, -2, -1)
+
+
+def polintd(f, times, t):
+    """Quadratic Lagrange through 3 time records, evaluated at t.
+
+    f: (3, ...) values at the 3 buffered records; times: (3,); t scalar
+    or broadcastable to f[0].
+    """
+    t0, t1, t2 = times[0], times[1], times[2]
+    l0 = (t - t1) * (t - t2) / ((t0 - t1) * (t0 - t2))
+    l1 = (t - t0) * (t - t2) / ((t1 - t0) * (t1 - t2))
+    l2 = (t - t0) * (t - t1) / ((t2 - t0) * (t2 - t1))
+    return f[0] * l0 + f[1] * l1 + f[2] * l2
+
+
+def locate_rho(grid: Grid, x, y):
+    i, fx = locate(grid.x_rho, x)
+    j, fy = locate(grid.y_rho, y)
+    return i, j, fx, fy
+
+
+def locate_u(grid: Grid, x, y):
+    i, fx = locate(grid.x_u, x)
+    j, fy = locate(grid.y_rho, y)
+    return i, j, fx, fy
+
+
+def locate_v(grid: Grid, x, y):
+    i, fx = locate(grid.x_rho, x)
+    j, fy = locate(grid.y_v, y)
+    return i, j, fx, fy

@@ -1,0 +1,273 @@
+"""ROMS grid + history-file series reading.
+
+Reference: ``initGrid``/``initHydro``/``updateHydro`` in
+hydrodynamic_module.f90 (SURVEY.md SS2.1 #3, SS3.3 [conf: H mechanism]):
+open the grid NetCDF; then stream the numbered multi-file history
+series ``dirin + prefix + zero-padded(filenum, numdigits) + suffix``,
+keeping a triple buffer (back/center/forward) of one time record each
+of zeta/u/v/w/Aks[/salt/temp], honoring the per-field read/const
+switches.
+
+Host-side NumPy only (device transfer happens in the prefetch
+pipeline / step driver).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config import Config
+from .nc import NCFile
+
+# ROMS variable-name candidates (first match wins)
+_VAR_NAMES = {
+    "zeta": ["zeta"],
+    "u": ["u"],
+    "v": ["v"],
+    "w": ["w", "omega"],
+    "aks": ["AKs", "Aks", "AKS", "aks"],
+    "salt": ["salt"],
+    "temp": ["temp"],
+    "time": ["ocean_time", "scrum_time", "time"],
+}
+
+_GRID_NAMES = {
+    "lon_rho": ["lon_rho", "x_rho"],
+    "lat_rho": ["lat_rho", "y_rho"],
+    "mask_rho": ["mask_rho"],
+    "h": ["h"],
+    "s_rho": ["s_rho", "sc_r"],
+    "s_w": ["s_w", "sc_w"],
+    "Cs_r": ["Cs_r"],
+    "Cs_w": ["Cs_w"],
+    "hc": ["hc"],
+    "Vtransform": ["Vtransform"],
+}
+
+
+def _find(nc: NCFile, names: List[str]) -> Optional[str]:
+    have = set(nc.variables())
+    for n in names:
+        if n in have:
+            return n
+    return None
+
+
+@dataclass
+class RomsGridData:
+    """Raw grid arrays straight from the files (host numpy)."""
+    lon_rho: np.ndarray     # (Ny, Nx) degrees (or meters for x_rho grids)
+    lat_rho: np.ndarray
+    mask_rho: np.ndarray    # (Ny, Nx)
+    h: np.ndarray           # (Ny, Nx)
+    s_rho: np.ndarray
+    s_w: np.ndarray
+    Cs_r: np.ndarray
+    Cs_w: np.ndarray
+    hc: float
+    vtransform: int
+    geographic: bool        # True if lon/lat in degrees
+
+
+def read_grid(path: str, cfg: Optional[Config] = None,
+              hist_path: Optional[str] = None) -> RomsGridData:
+    """Read grid + s-coordinate data, falling back to a history file for
+    the s-coordinate variables when the grid file lacks them."""
+    nc = NCFile(path)
+    hist = NCFile(hist_path) if hist_path and hist_path != path else None
+
+    def get(key, required=True, record=False):
+        for src in (nc, hist):
+            if src is None:
+                continue
+            name = _find(src, _GRID_NAMES[key])
+            if name:
+                return src.read(name)
+        if required:
+            raise KeyError(f"grid variable {key} not found in {path}")
+        return None
+
+    lon = get("lon_rho")
+    lat = get("lat_rho")
+    geographic = _find(nc, ["lon_rho"]) is not None
+    mask = get("mask_rho", required=False)
+    if mask is None:
+        mask = np.ones_like(lon)
+    h = get("h")
+    s_rho = get("s_rho", required=False)
+    s_w = get("s_w", required=False)
+    Cs_r = get("Cs_r", required=False)
+    Cs_w = get("Cs_w", required=False)
+    hc = get("hc", required=False)
+    vt = get("Vtransform", required=False)
+    if cfg is not None:
+        if hc is None:
+            hc = cfg.hc
+        if vt is None:
+            vt = cfg.Vtransform
+    if s_rho is None:
+        from ..grid import uniform_sigma_levels
+        us = cfg.us if cfg else 20
+        s_rho, s_w = uniform_sigma_levels(us)
+        Cs_r, Cs_w = s_rho, s_w
+    if Cs_r is None:
+        Cs_r, Cs_w = s_rho, s_w
+    out = RomsGridData(
+        lon_rho=np.atleast_2d(np.asarray(lon, np.float64)),
+        lat_rho=np.atleast_2d(np.asarray(lat, np.float64)),
+        mask_rho=np.asarray(mask),
+        h=np.asarray(h, np.float64),
+        s_rho=np.asarray(s_rho, np.float64).ravel(),
+        s_w=np.asarray(s_w, np.float64).ravel(),
+        Cs_r=np.asarray(Cs_r, np.float64).ravel(),
+        Cs_w=np.asarray(Cs_w, np.float64).ravel(),
+        hc=float(np.asarray(hc).ravel()[0]),
+        vtransform=int(np.asarray(vt).ravel()[0]),
+        geographic=geographic,
+    )
+    nc.close()
+    if hist:
+        hist.close()
+    return out
+
+
+def rho_axes_from_grid(gd: RomsGridData, cfg: Config):
+    """Project the (possibly 2D) rho coordinates to 1D meter axes.
+
+    The engine's v1 grid is rectilinear (SURVEY.md SS7.1); ROMS files
+    store 2D coordinate arrays — collapse them to axes (asserting
+    rectilinearity within a tolerance).
+    """
+    from .. import convert
+
+    lon = gd.lon_rho
+    lat = gd.lat_rho
+    if lon.ndim == 1:
+        lon = lon[None, :]
+    if lat.ndim == 1:
+        lat = lat[:, None]
+    lon_axis = lon[0, :] if lon.shape[0] > 1 else lon.ravel()
+    lat_axis = lat[:, 0] if lat.shape[-1] > 1 else lat.ravel()
+    if lon.ndim == 2 and lon.shape[0] > 1:
+        spread = np.abs(lon - lon_axis[None, :]).max()
+        if spread > 1e-6 * max(1.0, np.abs(lon_axis).max()):
+            raise NotImplementedError(
+                "curvilinear ROMS grids not supported yet (lon varies "
+                f"along eta by {spread}); v1 requires rectilinear grids")
+    if gd.geographic:
+        # project to meters about (lonmin, latmin) at the domain's mid
+        # latitude (the reference projects per-point with cos(lat);
+        # for a rectilinear-in-degrees grid we use the axis form).
+        x = convert.lon2x(lon_axis, np.full_like(lon_axis, lat_axis.mean()),
+                          cfg.lonmin, cfg.latmin, cfg.Earth_Radius,
+                          cfg.SphericalProjection)
+        y = convert.lat2y(lat_axis, cfg.latmin, cfg.Earth_Radius,
+                          cfg.SphericalProjection)
+    else:
+        x, y = lon_axis, lat_axis
+    return np.asarray(x, np.float64), np.asarray(y, np.float64)
+
+
+class RomsSeries:
+    """Cursor over the numbered multi-file ROMS history series.
+
+    ``next_record()`` yields dicts of one time record of each enabled
+    field, advancing across file boundaries (updateHydro semantics).
+    """
+
+    def __init__(self, cfg: Config, paths: Optional[List[str]] = None):
+        self.cfg = cfg
+        self._explicit_paths = paths
+        self.file_idx = 0      # index into the series
+        self.rec_idx = 0       # record within current file
+        self._nc: Optional[NCFile] = None
+        self._names: Dict[str, Optional[str]] = {}
+
+    # -- file naming ------------------------------------------------------
+    def path_for(self, file_idx: int) -> str:
+        if self._explicit_paths is not None:
+            return self._explicit_paths[file_idx]
+        cfg = self.cfg
+        num = cfg.filenum + file_idx
+        return os.path.join(
+            cfg.dirin, f"{cfg.prefix}{num:0{cfg.numdigits}d}{cfg.suffix}")
+
+    def _open(self, file_idx: int):
+        if self._nc is not None:
+            self._nc.close()
+        self._nc = NCFile(self.path_for(file_idx))
+        self.file_idx = file_idx
+        self._names = {k: _find(self._nc, v) for k, v in _VAR_NAMES.items()}
+
+    # -- record streaming -------------------------------------------------
+    def _read_field(self, key: str, rec: int, read_flag: bool,
+                    const: float, shape_like: Optional[np.ndarray]):
+        name = self._names.get(key)
+        if read_flag and name:
+            return np.asarray(self._nc.read(name, rec), np.float32)
+        if shape_like is not None:
+            return np.full(shape_like.shape, const, np.float32)
+        return None
+
+    def next_record(self) -> Dict[str, np.ndarray]:
+        """Read the next time record, rolling over to the next file."""
+        cfg = self.cfg
+        if self._nc is None:
+            self._open(0)
+        tname = self._names["time"]
+        nrec = self._nc.num_records(tname) if tname else cfg.tdim
+        if self.rec_idx >= nrec:
+            self._open(self.file_idx + 1)
+            self.rec_idx = 0
+        rec = self.rec_idx
+        self.rec_idx += 1
+
+        t = float(np.asarray(self._nc.read(tname, rec)).ravel()[0]) if tname \
+            else float(rec * cfg.dt)
+        zeta = self._read_field("zeta", rec, cfg.readZeta, cfg.constZeta, None)
+        u = self._read_field("u", rec, cfg.readU, cfg.constU, None)
+        v = self._read_field("v", rec, cfg.readV, cfg.constV, None)
+        w = self._read_field("w", rec, cfg.readW, cfg.constW, None)
+        aks = self._read_field("aks", rec, cfg.readAks, cfg.constAks, None)
+        out = {"time": t, "zeta": zeta, "u": u, "v": v, "w": w, "aks": aks}
+        # const fallbacks need shapes from whatever was read
+        ref3 = u if u is not None else v
+        if ref3 is None:
+            raise ValueError("history file must contain at least u or v "
+                             "when readU/readV are off, set constU/constV "
+                             "and provide a grid-shaped template")
+        kshape = ref3.shape            # (us, Ny, Nx') on u or v grid
+        if zeta is None:
+            out["zeta"] = np.full(kshape[1:], cfg.constZeta, np.float32)
+        if w is None:
+            ws_shape = (kshape[0] + 1,) + kshape[1:]
+            out["w"] = np.full(ws_shape, cfg.constW, np.float32)
+        if aks is None:
+            ws_shape = (kshape[0] + 1,) + kshape[1:]
+            out["aks"] = np.full(ws_shape, cfg.constAks, np.float32)
+        if cfg.SaltTempOn:
+            out["salt"] = self._read_field("salt", rec, cfg.readSalt,
+                                           cfg.constSalt, None)
+            out["temp"] = self._read_field("temp", rec, cfg.readTemp,
+                                           cfg.constTemp, None)
+        return out
+
+    def seek(self, global_record: int):
+        """Position the cursor at a global record index (for resume).
+
+        Uses cfg.tdim records/file for the mapping, matching the
+        reference's fixed records-per-file series layout [conf: M].
+        """
+        global_record = max(0, global_record)
+        tdim = max(1, self.cfg.tdim)
+        self._open(global_record // tdim)
+        self.rec_idx = global_record % tdim
+
+    def close(self):
+        if self._nc is not None:
+            self._nc.close()
+            self._nc = None

@@ -1,0 +1,261 @@
+"""Coastline/land boundary handling: segment extraction + reflection.
+
+Reference: boundary_module.f90 (SURVEY.md SS2.1 #5 [conf: H mechanism]):
+``createBounds`` derives the land/sea boundary as chains of line
+segments from ``mask_rho`` (tagging open-ocean segments on the grid
+edge); ``mbounds``/``ibounds`` test domain membership; and
+``intersect_reflect`` finds the first crossing of a particle's
+displacement segment and reflects specularly, iterating until no
+crossing remains.
+
+TPU-native redesign (SURVEY.md SS7.3 item 2): the variable-iteration
+per-particle walk becomes a fixed-K, fully vectorized pass:
+
+  * host-side precompute (once): boundary segments on the edges of the
+    rho-cell lattice + a per-cell bucket of the segment ids within the
+    3x3 cell neighborhood (padded to S_max, -1 filled);
+  * per internal step: locate each particle's pre-move cell, gather its
+    bucket, intersect the displacement segment against all bucket
+    segments at once, reflect about the earliest crossing, repeat K
+    times (K=4 default) under masks;
+  * particles whose endpoint still lies in a land cell after K passes
+    get status=ERROR (the reference's ErrorFlag lattice), so no
+    particle silently tunnels through a wall;
+  * crossing an open-ocean segment exits the particle
+    (OUT_OF_DOMAIN) when OpenOceanBoundary is on, else reflects.
+
+Assumes displacement per internal step spans at most ~1 cell (same
+regime the reference's adjacent-element search addresses).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..grid import locate
+
+LAND = 0
+OPEN = 1
+
+
+class Boundaries(NamedTuple):
+    seg_a: jax.Array        # (S, 2) segment start xy
+    seg_b: jax.Array        # (S, 2) segment end xy
+    seg_kind: jax.Array     # (S,) LAND or OPEN
+    bucket: jax.Array       # (Ny, Nx, S_max) segment ids per rho cell, -1 pad
+    x_edges: jax.Array      # (Nx+1,) cell-edge x coordinates
+    y_edges: jax.Array      # (Ny+1,) cell-edge y coordinates
+    water: jax.Array        # (Ny, Nx) mask_rho as int32
+
+    @property
+    def n_segments(self) -> int:
+        return self.seg_a.shape[0]
+
+
+def _cell_edges(axis: np.ndarray) -> np.ndarray:
+    mid = 0.5 * (axis[1:] + axis[:-1])
+    first = axis[0] - (axis[1] - axis[0]) / 2
+    last = axis[-1] + (axis[-1] - axis[-2]) / 2
+    return np.concatenate([[first], mid, [last]])
+
+
+def build_boundaries(mask_rho, x_rho, y_rho, closed_edges=False,
+                     dtype=np.float64) -> Boundaries:
+    """createBounds analog (host-side numpy, once at init).
+
+    closed_edges: treat the grid rim as land (True) instead of open
+    ocean (False).
+    """
+    mask = np.asarray(mask_rho).astype(np.int32)
+    ny, nx = mask.shape
+    xe = _cell_edges(np.asarray(x_rho, dtype))
+    ye = _cell_edges(np.asarray(y_rho, dtype))
+
+    seg_a, seg_b, seg_kind = [], [], []
+    seg_cells = []  # owning (j, i) of each segment
+
+    edge_kind = LAND if closed_edges else OPEN
+
+    def neighbor_state(j, i):
+        if j < 0 or j >= ny or i < 0 or i >= nx:
+            return "edge"
+        return "water" if mask[j, i] else "land"
+
+    for j in range(ny):
+        for i in range(nx):
+            if not mask[j, i]:
+                continue
+            # (dj, di, segment endpoints on that side of cell (j,i))
+            sides = [
+                (0, -1, (xe[i], ye[j]), (xe[i], ye[j + 1])),       # west
+                (0, +1, (xe[i + 1], ye[j]), (xe[i + 1], ye[j + 1])),  # east
+                (-1, 0, (xe[i], ye[j]), (xe[i + 1], ye[j])),       # south
+                (+1, 0, (xe[i], ye[j + 1]), (xe[i + 1], ye[j + 1])),  # north
+            ]
+            for dj, di, a, b in sides:
+                st = neighbor_state(j + dj, i + di)
+                if st == "water":
+                    continue
+                kind = LAND if st == "land" else edge_kind
+                seg_a.append(a)
+                seg_b.append(b)
+                seg_kind.append(kind)
+                seg_cells.append((j, i))
+
+    S = len(seg_a)
+    if S == 0:
+        # no land, fully open rim (can't happen: rim always emits)
+        seg_a = [[0.0, 0.0]]
+        seg_b = [[0.0, 0.0]]
+        seg_kind = [LAND]
+        seg_cells = [(0, 0)]
+        S = 1
+
+    seg_a = np.asarray(seg_a, dtype)
+    seg_b = np.asarray(seg_b, dtype)
+    seg_kind = np.asarray(seg_kind, np.int32)
+
+    # per-cell buckets over the 3x3 neighborhood
+    cell_lists = [[[] for _ in range(nx)] for _ in range(ny)]
+    for sid, (j, i) in enumerate(seg_cells):
+        for jj in range(max(0, j - 1), min(ny, j + 2)):
+            for ii in range(max(0, i - 1), min(nx, i + 2)):
+                cell_lists[jj][ii].append(sid)
+    s_max = max(1, max(len(cell_lists[j][i]) for j in range(ny)
+                       for i in range(nx)))
+    bucket = np.full((ny, nx, s_max), -1, np.int32)
+    for j in range(ny):
+        for i in range(nx):
+            ids = cell_lists[j][i]
+            bucket[j, i, :len(ids)] = ids
+
+    return Boundaries(
+        seg_a=jnp.asarray(seg_a), seg_b=jnp.asarray(seg_b),
+        seg_kind=jnp.asarray(seg_kind), bucket=jnp.asarray(bucket),
+        x_edges=jnp.asarray(xe), y_edges=jnp.asarray(ye),
+        water=jnp.asarray(mask),
+    )
+
+
+def cell_of(bounds: Boundaries, x, y):
+    """Rho-cell index of a point (clamped to the grid)."""
+    i = jnp.clip(jnp.searchsorted(bounds.x_edges, x, side="right") - 1,
+                 0, bounds.water.shape[1] - 1)
+    j = jnp.clip(jnp.searchsorted(bounds.y_edges, y, side="right") - 1,
+                 0, bounds.water.shape[0] - 1)
+    return i.astype(jnp.int32), j.astype(jnp.int32)
+
+
+def in_water(bounds: Boundaries, x, y):
+    """mbounds analog: is the point in a water cell of the domain?"""
+    i, j = cell_of(bounds, x, y)
+    inside = ((x >= bounds.x_edges[0]) & (x <= bounds.x_edges[-1])
+              & (y >= bounds.y_edges[0]) & (y <= bounds.y_edges[-1]))
+    return inside & (bounds.water[j, i] > 0)
+
+
+def reflect(bounds: Boundaries, x0, y0, x1, y1, open_exits: bool,
+            n_iter: int = 4, eps: float = 1e-6):
+    """intersect_reflect analog, fully vectorized.
+
+    Returns (x, y, hit_land_count, exited, stuck):
+      x, y            final positions after up to n_iter reflections
+      hit_land_count  number of land-segment bounces (TrackCollisions)
+      exited          crossed an open segment (only if open_exits)
+      stuck           endpoint still in a land cell after n_iter passes
+                      (caller maps this to status=ERROR)
+    """
+    dtype = x0.dtype
+    n = x0.shape[0]
+    hit_land = jnp.zeros(n, jnp.int32)
+    exited = jnp.zeros(n, bool)
+    px0, py0, px1, py1 = x0, y0, x1, y1
+
+    for _ in range(n_iter):
+        ci, cj = cell_of(bounds, px0, py0)
+        sids = bounds.bucket[cj, ci]                    # (N, S_max)
+        valid = sids >= 0
+        sid_safe = jnp.maximum(sids, 0)
+        A = bounds.seg_a[sid_safe]                      # (N, S_max, 2)
+        B = bounds.seg_b[sid_safe]
+        kind = bounds.seg_kind[sid_safe]
+
+        dx = (px1 - px0)[:, None]
+        dy = (py1 - py0)[:, None]
+        ex = B[..., 0] - A[..., 0]
+        ey = B[..., 1] - A[..., 1]
+        apx = A[..., 0] - px0[:, None]
+        apy = A[..., 1] - py0[:, None]
+        denom = dx * ey - dy * ex
+        denom_safe = jnp.where(jnp.abs(denom) < 1e-30,
+                               jnp.asarray(1e-30, dtype), denom)
+        tp = (apx * ey - apy * ex) / denom_safe         # along particle path
+        ts = (apx * dy - apy * dx) / denom_safe         # along segment
+        crossing = (valid & (jnp.abs(denom) > 1e-30)
+                    & (tp > 0.0) & (tp <= 1.0)
+                    & (ts >= 0.0) & (ts <= 1.0))
+        tp_masked = jnp.where(crossing, tp, jnp.asarray(jnp.inf, dtype))
+        first = jnp.argmin(tp_masked, axis=1)
+        any_cross = jnp.take_along_axis(crossing, first[:, None], 1)[:, 0]
+        act = any_cross & ~exited
+
+        tpf = jnp.take_along_axis(tp_masked, first[:, None], 1)[:, 0]
+        tpf = jnp.where(act, tpf, 0.0)
+        exf = jnp.take_along_axis(ex, first[:, None], 1)[:, 0]
+        eyf = jnp.take_along_axis(ey, first[:, None], 1)[:, 0]
+        kindf = jnp.take_along_axis(kind, first[:, None], 1)[:, 0]
+
+        ix = px0 + tpf * (px1 - px0)                    # intersection point
+        iy = py0 + tpf * (py1 - py0)
+        rx = px1 - ix                                   # remaining segment
+        ry = py1 - iy
+        elen2 = jnp.maximum(exf * exf + eyf * eyf,
+                            jnp.asarray(1e-30, dtype))
+        proj = (rx * exf + ry * eyf) / elen2
+        rrx = 2.0 * proj * exf - rx                     # specular reflection
+        rry = 2.0 * proj * eyf - ry
+
+        is_open_hit = act & (kindf == OPEN)
+        if open_exits:
+            newly_exited = is_open_hit
+            do_reflect = act & (kindf == LAND)
+        else:
+            newly_exited = jnp.zeros_like(is_open_hit)
+            do_reflect = act
+
+        # nudge the restart point off the wall to avoid re-hitting it
+        nrm = jnp.sqrt(jnp.maximum(rrx * rrx + rry * rry,
+                                   jnp.asarray(1e-30, dtype)))
+        nx0 = ix + eps * rrx / nrm
+        ny0 = iy + eps * rry / nrm
+
+        px0 = jnp.where(do_reflect, nx0, px0)
+        py0 = jnp.where(do_reflect, ny0, py0)
+        px1 = jnp.where(do_reflect, ix + rrx, px1)
+        py1 = jnp.where(do_reflect, iy + rry, py1)
+        # exited particles stop at the open-boundary crossing point
+        px1 = jnp.where(newly_exited, ix, px1)
+        py1 = jnp.where(newly_exited, iy, py1)
+        hit_land = hit_land + (do_reflect & (kindf == LAND)).astype(jnp.int32)
+        exited = exited | newly_exited
+
+    stuck = ~exited & ~in_water(bounds, px1, py1)
+    return px1, py1, hit_land, exited, stuck
+
+
+def reflect_vertical(z, zeta_p, h_p):
+    """Surface/bottom specular reflection (SURVEY.md SS3.2 [conf: M]).
+
+    z > zeta  ->  2*zeta - z ;  z < -h  ->  -2h - z ; then clamp.
+    Returns (z', hit_surface, hit_bottom).
+    """
+    above = z > zeta_p
+    z1 = jnp.where(above, 2.0 * zeta_p - z, z)
+    below = z1 < -h_p
+    z2 = jnp.where(below, -2.0 * h_p - z1, z1)
+    z3 = jnp.clip(z2, -h_p, zeta_p)
+    return z3, above, below

@@ -1,0 +1,226 @@
+"""Run driver: init -> external-step loop -> output -> shutdown.
+
+Reference: ``program LTRANS`` / ``ini_LTRANS`` / ``fin_LTRANS``
+(SURVEY.md SS3.1/SS3.5 [conf: H structure]).  CLI:
+
+    python -m ltjax.run path/to/LTRANS.data [--resume]
+
+The namelist file is the reference's own configuration format
+(ltjax.config loads it unmodified).  Structured JSON-line logging per
+external step (SURVEY.md SS5.5) replaces the reference's stdout
+progress prints; WriteModelTiming maps to the per-phase timing summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+
+from . import checkpoint as ckpt
+from . import convert
+from . import state as st
+from .config import Config, config_from_namelist
+from .fields import FieldSet, make_fieldset, rotate
+from .grid import Grid, make_grid
+from .io.prefetch import Prefetcher
+from .io.roms import RomsSeries, read_grid, rho_axes_from_grid
+from .out.writer import TrajectoryWriter
+from .physics import boundary as bd
+from .physics import settlement as stl
+from .step import StepContext, make_external_step, summary_counts
+
+
+def _project_polys(polys, cfg: Config):
+    out = []
+    for pid, v in polys:
+        x = convert.lon2x(v[:, 0], v[:, 1], cfg.lonmin, cfg.latmin,
+                          cfg.Earth_Radius, cfg.SphericalProjection)
+        y = convert.lat2y(v[:, 1], cfg.latmin, cfg.Earth_Radius,
+                          cfg.SphericalProjection)
+        out.append((pid, np.stack([np.asarray(x), np.asarray(y)], -1)))
+    return out
+
+
+def build_context(cfg: Config, grid: Grid) -> StepContext:
+    # grid-rim segments are tagged OPEN; whether they exit or reflect is
+    # decided at reflect() time by cfg.OpenOceanBoundary
+    bounds = bd.build_boundaries(
+        np.asarray(grid.mask_rho), np.asarray(grid.x_rho),
+        np.asarray(grid.y_rho), closed_edges=False)
+    polys = holes = None
+    if cfg.settlementon and cfg.habitatfile:
+        hp = _project_polys(stl.read_polygon_csv(cfg.habitatfile), cfg)
+        polys = stl.build_polygons(hp, np.asarray(bounds.x_edges),
+                                   np.asarray(bounds.y_edges))
+        if cfg.holesExist and cfg.holefile:
+            hh = _project_polys(stl.read_polygon_csv(cfg.holefile), cfg)
+            holes = stl.build_polygons(hh, np.asarray(bounds.x_edges),
+                                       np.asarray(bounds.y_edges))
+    return StepContext(grid=grid, bounds=bounds, polys=polys, holes=holes)
+
+
+def load_grid(cfg: Config) -> Grid:
+    dtype = jnp.dtype(cfg.dtype_pos)
+    gd = read_grid(cfg.NCgridfile, cfg,
+                   hist_path=None if not cfg.dirin else
+                   RomsSeries(cfg).path_for(0))
+    x_axis, y_axis = rho_axes_from_grid(gd, cfg)
+    return make_grid(x_axis, y_axis, gd.h, gd.mask_rho, gd.s_rho, gd.Cs_r,
+                     gd.s_w, gd.Cs_w, gd.hc, gd.vtransform, dtype=dtype)
+
+
+def init_particles_from_parfile(cfg: Config) -> st.Particles:
+    dtype = jnp.dtype(cfg.dtype_pos)
+    arr = st.read_parfile(cfg.parfile)
+    lon, lat, depth, dob = arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3]
+    x = convert.lon2x(lon, lat, cfg.lonmin, cfg.latmin, cfg.Earth_Radius,
+                      cfg.SphericalProjection)
+    y = convert.lat2y(lat, cfg.latmin, cfg.Earth_Radius,
+                      cfg.SphericalProjection)
+    z = -np.abs(depth)  # depths may be given positive-down
+    return st.init_particles(np.asarray(x), np.asarray(y), z, dob,
+                             dtype=dtype)
+
+
+class Timing:
+    """WriteModelTiming analog: cumulative per-phase wall clock."""
+
+    def __init__(self):
+        self.acc = {}
+
+    def add(self, phase: str, dt: float):
+        self.acc[phase] = self.acc.get(phase, 0.0) + dt
+
+    def summary(self):
+        return dict(sorted(self.acc.items()))
+
+
+def run(cfg: Config, resume: bool = False,
+        series_paths: Optional[List[str]] = None) -> st.Particles:
+    cfg.validate()
+    if cfg.dtype_pos == "float64" and not jax.config.jax_enable_x64:
+        # without this, f64 requests silently truncate to f32
+        jax.config.update("jax_enable_x64", True)
+    timing = Timing()
+    t0 = time.perf_counter()
+
+    grid = load_grid(cfg)
+    ctx = build_context(cfg, grid)
+    series = RomsSeries(cfg, paths=series_paths)
+    global_rec = 0
+
+    start_ext = 0
+    if resume:
+        path = ckpt.latest(cfg.checkpoint_dir)
+        if path:
+            particles, start_ext, global_rec, _ = ckpt.load(path)
+            series.seek(global_rec - 3)  # re-prime the 3-record buffer
+        else:
+            particles = init_particles_from_parfile(cfg)
+    else:
+        particles = init_particles_from_parfile(cfg)
+
+    # --- prime the triple buffer (initHydro) -----------------------------
+    field_dtype = jnp.dtype(cfg.dtype_field)
+    recs = [series.next_record() for _ in range(3)]
+    global_rec += 3
+    t_base = recs[0]["time"]
+    fs = make_fieldset(
+        np.stack([r["zeta"] for r in recs]),
+        np.stack([r["u"] for r in recs]),
+        np.stack([r["v"] for r in recs]),
+        np.stack([r["w"] for r in recs]),
+        np.stack([r["aks"] for r in recs]),
+        np.asarray([r["time"] - t_base for r in recs]),
+        salt=(np.stack([r["salt"] for r in recs])
+              if cfg.SaltTempOn else None),
+        temp=(np.stack([r["temp"] for r in recs])
+              if cfg.SaltTempOn else None),
+        dtype=field_dtype)
+    timing.add("hydro_init", time.perf_counter() - t0)
+
+    prefetch = Prefetcher(series.next_record) if cfg.prefetch else None
+
+    writer = TrajectoryWriter(cfg)
+    ext_step = make_external_step(ctx, cfg, jr.key(cfg.seed))
+
+    # status check for the ErrorFlag=0 halt policy
+    n_ext = cfg.external_steps
+    if not resume:
+        writer.snapshot(0.0, particles)
+    try:
+        for ext in range(start_ext, n_ext):
+            tw = time.perf_counter()
+            if ext >= 1:
+                # updateHydro: rotate in the next record
+                rec = prefetch.next() if prefetch else series.next_record()
+                if rec is None:
+                    print(json.dumps({"event": "series_exhausted",
+                                      "ext": ext}))
+                    break
+                global_rec += 1
+                fs = rotate(fs, rec["zeta"], rec["u"], rec["v"], rec["w"],
+                            rec["aks"], rec["time"] - t_base,
+                            salt=rec.get("salt"), temp=rec.get("temp"))
+                timing.add("hydro_read", time.perf_counter() - tw)
+
+            tc = time.perf_counter()
+            t_ext = float(ext * cfg.dt)
+            particles = ext_step(particles, fs, t_ext, ext)
+            particles = jax.block_until_ready(particles)
+            step_s = time.perf_counter() - tc
+            timing.add("compute", step_s)
+
+            counts = summary_counts(particles)
+            if cfg.ErrorFlag == 0 and counts["error"] > 0:
+                raise RuntimeError(
+                    f"{counts['error']} particles hit location/"
+                    f"interpolation errors at ext step {ext} "
+                    f"(ErrorFlag=0 halts; set ErrorFlag>0 to continue)")
+
+            if (ext + 1) % cfg.output_every_ext == 0:
+                to = time.perf_counter()
+                writer.snapshot(t_ext + cfg.dt, particles)
+                timing.add("output", time.perf_counter() - to)
+
+            if cfg.checkpoint_every and (ext + 1) % cfg.checkpoint_every == 0:
+                ckpt.save(os.path.join(cfg.checkpoint_dir,
+                                       f"ckpt_{ext + 1}.npz"),
+                          particles, ext + 1, global_rec)
+
+            log = {"ext": ext, "sim_t": t_ext + cfg.dt,
+                   "steps_per_s": cfg.numpar * cfg.internal_steps / step_s,
+                   "stall_s": round(prefetch.stall_s, 4) if prefetch else 0.0}
+            log.update(counts)
+            print(json.dumps(log))
+    finally:
+        if prefetch:
+            prefetch.close()
+        writer.close()
+        series.close()
+
+    if cfg.WriteModelTiming:
+        print(json.dumps({"timing": timing.summary()}))
+    return particles
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print("usage: python -m ltjax.run LTRANS.data [--resume]")
+        return 2
+    cfg = config_from_namelist(argv[0])
+    run(cfg, resume="--resume" in argv)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

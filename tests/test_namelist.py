@@ -1,0 +1,52 @@
+"""Namelist parser tests: both the standard ``&group .../`` form and
+the DEC-style ``$group ... $end`` form the reference's LTRANS.data uses
+(parameter_module.f90 getParams, SURVEY.md SS5.6)."""
+
+from ltjax import namelist as nml
+from ltjax.config import config_from_namelist
+
+AMP = """
+&numparticles
+  numpar = 42
+/
+&timeparam
+  days = 0.5, dt = 3600, idt = 120  ! trailing comment
+/
+&romsgrid
+  NCgridfile = '/data/grid.nc'
+/
+&turbparam
+  HTurbOn = .TRUE.
+  ConstantHTurb = 1.5d1
+/
+"""
+
+DOLLAR = AMP.replace("&", "$").replace("/\n", "$end\n")
+
+
+def _check(groups):
+    flat = nml.flatten(groups)
+    assert flat["numpar"] == 42
+    assert flat["days"] == 0.5
+    assert flat["dt"] == 3600
+    assert flat["ncgridfile"] == "/data/grid.nc"
+    assert flat["hturbon"] is True
+    assert flat["constanthturb"] == 15.0
+
+
+def test_ampersand_form():
+    _check(nml.parse_namelist(AMP))
+
+
+def test_dollar_end_form():
+    _check(nml.parse_namelist(DOLLAR))
+
+
+def test_config_roundtrip(tmp_path):
+    p = tmp_path / "LTRANS.data"
+    p.write_text(DOLLAR)
+    cfg = config_from_namelist(str(p), idt=120)
+    assert cfg.numpar == 42
+    assert cfg.NCgridfile == "/data/grid.nc"
+    assert cfg.HTurbOn is True
+    assert cfg.external_steps == 12
