@@ -1,0 +1,87 @@
+"""Throughput benchmark: particle-steps/s/chip on the advection hot path.
+
+Protocol (BASELINE.md): advection-only config (BASELINE.json config 1
+scaled to 1M particles), >=100 internal steps after JIT warm-up,
+block_until_ready timing, median of 5 repeats.  Prints ONE JSON line:
+
+  {"metric": "particle-steps/s/chip@1M", "value": N, "unit": "steps/s",
+   "vs_baseline": N}
+
+The reference publishes no machine-performance numbers (SURVEY.md SS6),
+so ``vs_baseline`` reports the achieved fraction of the conservative
+gather-bandwidth roofline (2e8 particle-steps/s/chip on TPU v5e,
+BASELINE.md roofline model).
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
+from ltjax import synth
+from ltjax import state as st
+from ltjax.config import Config
+from ltjax.physics import boundary as bd
+from ltjax.step import StepContext, make_external_step
+
+ROOFLINE = 2.0e8  # conservative particle-steps/s/chip bound (BASELINE.md)
+
+
+def build(numpar=1_000_000, nx=200, ny=200, us=20, dt=3600, idt=120):
+    dtype = jnp.float32
+    cfg = Config(numpar=numpar, dt=dt, idt=idt, us=us, ws=us + 1,
+                 HTurbOn=False, VTurbOn=False, Behavior=0,
+                 OpenOceanBoundary=True, dtype_pos="float32",
+                 reflect_iters=2)
+    case = synth.make_solid_body_case(nx=nx, ny=ny, us=us, lx=200e3,
+                                      ly=200e3, h0=50.0, omega=5e-5,
+                                      dtype=dtype)
+    grid = case.grid
+    bounds = bd.build_boundaries(np.asarray(grid.mask_rho),
+                                 np.asarray(grid.x_rho),
+                                 np.asarray(grid.y_rho))
+    ctx = StepContext(grid=grid, bounds=bounds, polys=None, holes=None)
+    fs = synth.fieldset_for(case, t_center=float(dt) / 2, dt=float(dt),
+                            dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    p = st.init_particles(rng.uniform(40e3, 160e3, numpar),
+                          rng.uniform(40e3, 160e3, numpar),
+                          rng.uniform(-40.0, -5.0, numpar), dtype=dtype)
+    status = jnp.full(numpar, st.ACTIVE, jnp.int32)
+    p = p._replace(status=status)
+    return cfg, ctx, fs, p
+
+
+def main():
+    cfg, ctx, fs, p = build()
+    step = make_external_step(ctx, cfg, jr.key(0))
+    n_int = cfg.internal_steps  # 30 internal steps per call
+
+    # warm-up / compile
+    p = jax.block_until_ready(step(p, fs, 0.0, 0))
+
+    reps = 5
+    calls = 4  # 4 x 30 = 120 internal steps per rep
+    rates = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        pp = p
+        for c in range(calls):
+            pp = step(pp, fs, 0.0, c)
+        jax.block_until_ready(pp)
+        dt_s = time.perf_counter() - t0
+        rates.append(cfg.numpar * n_int * calls / dt_s)
+    value = float(np.median(rates))
+    print(json.dumps({
+        "metric": "particle-steps/s/chip@1M",
+        "value": value,
+        "unit": "particle-steps/s",
+        "vs_baseline": value / ROOFLINE,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,10 +29,13 @@ def make_fieldset(zeta, u, v, w, aks, times, salt=None, temp=None,
                   dtype=jnp.float32) -> FieldSet:
     zeta = jnp.asarray(zeta, dtype)
     u = jnp.asarray(u, dtype)
+    w = jnp.asarray(w, dtype)
+    # salt/temp live on the rho grid: (3, us, Ny, Nx)
+    rho_shape = u.shape[:2] + w.shape[2:]
     if salt is None:
-        salt = jnp.zeros_like(u)
+        salt = jnp.zeros(rho_shape, dtype)
     if temp is None:
-        temp = jnp.zeros_like(u)
+        temp = jnp.zeros(rho_shape, dtype)
     return FieldSet(
         zeta=zeta,
         u=u,

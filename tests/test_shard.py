@@ -1,0 +1,128 @@
+"""Multi-chip sharding tests on the 8-virtual-CPU-device mesh
+(SURVEY.md SS4: 1-device == N-device is the strongest cluster-free
+distributed test).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import pytest
+
+from ltjax import shard, synth
+from ltjax import state as st
+from ltjax.config import Config
+from ltjax.step import StepContext, make_external_step
+from ltjax.physics import boundary as bd
+
+
+def _setup(hturb=False):
+    cfg = Config(numpar=96, dt=3600, idt=300, us=10, ws=11,
+                 HTurbOn=hturb, ConstantHTurb=5.0,
+                 OpenOceanBoundary=True, TrackCollisions=True,
+                 dtype_pos="float64")
+    case = synth.make_solid_body_case(nx=33, ny=41, us=10, lx=80e3,
+                                      ly=100e3, h0=50.0, omega=1.2e-4)
+    grid = case.grid
+    bounds = bd.build_boundaries(np.asarray(grid.mask_rho),
+                                 np.asarray(grid.x_rho),
+                                 np.asarray(grid.y_rho))
+    ctx = StepContext(grid=grid, bounds=bounds, polys=None, holes=None)
+    fs = synth.fieldset_for(case, t_center=1800.0, dt=3600.0,
+                            dtype=jnp.float64)
+
+    rng = np.random.default_rng(3)
+    n = cfg.numpar
+    x = rng.uniform(15e3, 65e3, n)
+    y = rng.uniform(15e3, 85e3, n)
+    z = rng.uniform(-40.0, -5.0, n)
+    p0 = st.init_particles(x, y, z)
+    return cfg, case, ctx, fs, p0
+
+
+def _sorted_by_pid(p: st.Particles):
+    order = np.argsort(np.asarray(p.pid))
+    return {f: np.asarray(getattr(p, f))[order] for f in p._fields}
+
+
+@pytest.mark.parametrize("ndp,ntiles", [(1, 4), (2, 4), (8, 1)])
+def test_tiled_matches_unsharded(ndp, ntiles):
+    cfg, case, ctx, fs, p0 = _setup(hturb=True)
+    key = jr.key(7)
+
+    # --- unsharded reference ------------------------------------------
+    ref_step = make_external_step(ctx, cfg, key)
+    p_ref = p0
+    for ext in range(3):
+        p_ref = ref_step(p_ref, fs, float(ext * cfg.dt), ext)
+    ref = _sorted_by_pid(p_ref)
+
+    # --- tiled --------------------------------------------------------
+    # halo must cover max displacement per external step: v_max*dt/dy
+    # = 1.2e-4*50e3*3600/2500 ~ 9 rows, +1 stencil
+    spec = shard.make_spec(cfg, ctx.grid.ny, cfg.numpar, ndp, ntiles,
+                           halo=10, slack=3.0)
+    mesh = shard.make_mesh(spec)
+    tiled = shard.build_tiled_static(ctx.grid, spec)
+    fs_pad = shard.pad_fieldset_eta(fs, spec.ny_pad)
+    step = shard.make_tiled_step(ctx, cfg, spec, tiled, mesh, key)
+    pbuf = shard.scatter_particles(p0, spec, tiled.tile_edges)
+    total_drop = 0
+    for ext in range(3):
+        pbuf, drop = step(pbuf, fs_pad, float(ext * cfg.dt), ext)
+        total_drop += int(jnp.sum(drop))
+    assert total_drop == 0
+    got = _sorted_by_pid(shard.gather_particles(pbuf))
+
+    assert got["pid"].shape == ref["pid"].shape
+    np.testing.assert_array_equal(got["pid"], ref["pid"])
+    np.testing.assert_array_equal(got["status"], ref["status"])
+    np.testing.assert_array_equal(got["hit_land"], ref["hit_land"])
+    # positions: identical operations on identical inputs => tight
+    np.testing.assert_allclose(got["x"], ref["x"], rtol=0, atol=1e-9)
+    np.testing.assert_allclose(got["y"], ref["y"], rtol=0, atol=1e-9)
+    np.testing.assert_allclose(got["z"], ref["z"], rtol=0, atol=1e-9)
+
+
+def test_migration_moves_particles_between_tiles():
+    cfg, case, ctx, fs, p0 = _setup()
+    spec = shard.make_spec(cfg, ctx.grid.ny, cfg.numpar, 1, 4,
+                           halo=6, slack=3.0)
+    mesh = shard.make_mesh(spec)
+    tiled = shard.build_tiled_static(ctx.grid, spec)
+    fs_pad = shard.pad_fieldset_eta(fs, spec.ny_pad)
+    step = shard.make_tiled_step(ctx, cfg, spec, tiled, mesh, key := jr.key(0))
+    pbuf = shard.scatter_particles(p0, spec, tiled.tile_edges)
+
+    def occupancy(pb):
+        s = np.asarray(pb.status)
+        return (s != shard.EMPTY).sum(axis=(0, 2))
+
+    occ0 = occupancy(pbuf)
+    for ext in range(6):
+        pbuf, drop = step(pbuf, fs_pad, float(ext * cfg.dt), ext)
+        assert int(jnp.sum(drop)) == 0
+        # invariant: every resident particle lies in its owning strip
+        edges = np.asarray(tiled.tile_edges)
+        y = np.asarray(pbuf.y)
+        s = np.asarray(pbuf.status)
+        for t in range(spec.ntiles):
+            resident = s[:, t, :] != shard.EMPTY
+            yt = y[:, t, :][resident]
+            assert np.all((yt >= edges[t]) & (yt < edges[t + 1]))
+    occ5 = occupancy(pbuf)
+    # solid-body rotation over 6 h moves particles across strips
+    assert np.any(occ0 != occ5)
+    assert occ5.sum() == cfg.numpar
+
+
+def test_scatter_gather_roundtrip():
+    cfg, case, ctx, fs, p0 = _setup()
+    spec = shard.make_spec(cfg, ctx.grid.ny, cfg.numpar, 2, 4, slack=2.0)
+    tiled = shard.build_tiled_static(ctx.grid, spec)
+    pbuf = shard.scatter_particles(p0, spec, tiled.tile_edges)
+    back = shard.gather_particles(pbuf)
+    ref = _sorted_by_pid(p0)
+    got = _sorted_by_pid(back)
+    for f in ("x", "y", "z", "pid", "status"):
+        np.testing.assert_array_equal(got[f], ref[f])
