@@ -25,7 +25,13 @@ import numpy as np
 
 
 class Grid(NamedTuple):
-    """Static grid data (a pytree of arrays; axes are (eta, xi)=(y, x))."""
+    """Static grid data (a pytree of arrays; axes are (eta, xi)=(y, x)).
+
+    ``uniform`` (static bool) marks exactly-uniform coordinate axes; the
+    cell locate then becomes index arithmetic (one multiply) instead of
+    a searchsorted — searchsorted lowers to a serialized binary-search
+    loop on TPU and dominated the profile before this fast path.
+    """
 
     x_rho: jax.Array       # (Nx,)  xi-axis rho-point coords [m]
     y_rho: jax.Array       # (Ny,)
@@ -41,6 +47,7 @@ class Grid(NamedTuple):
     Cs_w: jax.Array        # (ws,)
     hc: jax.Array          # scalar
     vtransform: int        # static: 1 or 2
+    uniform: bool = False  # static: all four axes exactly uniform
 
     @property
     def nx(self) -> int:
@@ -64,9 +71,24 @@ class Grid(NamedTuple):
 # retrace if it changes, which is correct behavior.
 
 
+def _is_uniform(ax: np.ndarray) -> bool:
+    d = np.diff(np.asarray(ax, np.float64))
+    if d.size == 0:
+        return True
+    d0 = float(np.mean(d))
+    return bool(np.all(np.abs(d - d0) <= 1e-9 * max(abs(d0), 1.0)))
+
+
 def make_grid(x_rho, y_rho, h, mask_rho, s_rho, Cs_r, s_w, Cs_w, hc,
-              vtransform=1, dtype=jnp.float64) -> Grid:
-    """Build a Grid from rho-point axes + bathymetry (+s-coord data)."""
+              vtransform=1, dtype=jnp.float64, uniform=None) -> Grid:
+    """Build a Grid from rho-point axes + bathymetry (+s-coord data).
+
+    uniform=None auto-detects exactly-uniform coordinate axes (host
+    side, once) to enable the arithmetic locate fast path.
+    """
+    if uniform is None:
+        uniform = _is_uniform(np.asarray(x_rho)) and _is_uniform(
+            np.asarray(y_rho))
     x_rho = jnp.asarray(x_rho, dtype)
     y_rho = jnp.asarray(y_rho, dtype)
     h = jnp.asarray(h, dtype)
@@ -81,10 +103,11 @@ def make_grid(x_rho, y_rho, h, mask_rho, s_rho, Cs_r, s_w, Cs_w, hc,
         s_rho=jnp.asarray(s_rho, dtype), Cs_r=jnp.asarray(Cs_r, dtype),
         s_w=jnp.asarray(s_w, dtype), Cs_w=jnp.asarray(Cs_w, dtype),
         hc=jnp.asarray(hc, dtype), vtransform=int(vtransform),
+        uniform=bool(uniform),
     )
 
 
-def locate(coords: jax.Array, x: jax.Array):
+def locate(coords: jax.Array, x: jax.Array, uniform: bool = False):
     """Cell index + fractional coordinate along one axis.
 
     coords: (n,) strictly increasing node coordinates.
@@ -92,8 +115,19 @@ def locate(coords: jax.Array, x: jax.Array):
     f = (x - coords[i]) / (coords[i+1] - coords[i]) clipped to [0, 1]
     (queries outside the axis clamp to the edge cells, matching the
     reference's treatment of particles at the domain rim [conf: M]).
+
+    uniform=True (static) replaces the searchsorted with index
+    arithmetic — searchsorted is a serialized binary-search loop on
+    TPU, and this is the hot path's first op.
     """
     n = coords.shape[0]
+    if uniform and n >= 2:
+        c0 = coords[0]
+        dx = coords[1] - coords[0]
+        t = (x - c0) / dx
+        i = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, n - 2)
+        f = jnp.clip(t - i.astype(t.dtype), 0.0, 1.0)
+        return i, f
     i = jnp.clip(jnp.searchsorted(coords, x, side="right") - 1, 0, n - 2)
     c0 = coords[i]
     c1 = coords[i + 1]

@@ -44,18 +44,19 @@ def interp2d(field, i, j, fx, fy):
 def interp_columns(field, i, j, fx, fy):
     """Bilinear interp of a level-resolved field to particle columns.
 
-    field: (..., K, Ny, Nx);  returns (..., N, K) vertical profiles at
-    each particle (the reference's per-s-level getInterp loop inside
-    WCTS_ITPI, vectorized).
+    field: (..., Ny, Nx, K) **K-last** (see ltjax.fields);  returns
+    (..., N, K) vertical profiles at each particle (the reference's
+    per-s-level getInterp loop inside WCTS_ITPI, vectorized).  Each
+    corner gather pulls one contiguous K-row per particle — the
+    TPU-friendly gather shape.
     """
-    # gather (..., K, N) then move K last
-    f00 = field[..., :, j, i]
-    f01 = field[..., :, j, i + 1]
-    f10 = field[..., :, j + 1, i]
-    f11 = field[..., :, j + 1, i + 1]
+    f00 = field[..., j, i, :]
+    f01 = field[..., j, i + 1, :]
+    f10 = field[..., j + 1, i, :]
+    f11 = field[..., j + 1, i + 1, :]
     w00, w01, w10, w11 = bilinear_weights(fx, fy)
-    prof = (f00 * w00 + f01 * w01 + f10 * w10 + f11 * w11)
-    return jnp.moveaxis(prof, -2, -1)
+    return (f00 * w00[..., None] + f01 * w01[..., None]
+            + f10 * w10[..., None] + f11 * w11[..., None])
 
 
 def polintd(f, times, t):
@@ -72,18 +73,18 @@ def polintd(f, times, t):
 
 
 def locate_rho(grid: Grid, x, y):
-    i, fx = locate(grid.x_rho, x)
-    j, fy = locate(grid.y_rho, y)
+    i, fx = locate(grid.x_rho, x, grid.uniform)
+    j, fy = locate(grid.y_rho, y, grid.uniform)
     return i, j, fx, fy
 
 
 def locate_u(grid: Grid, x, y):
-    i, fx = locate(grid.x_u, x)
-    j, fy = locate(grid.y_rho, y)
+    i, fx = locate(grid.x_u, x, grid.uniform)
+    j, fy = locate(grid.y_rho, y, grid.uniform)
     return i, j, fx, fy
 
 
 def locate_v(grid: Grid, x, y):
-    i, fx = locate(grid.x_rho, x)
-    j, fy = locate(grid.y_v, y)
+    i, fx = locate(grid.x_rho, x, grid.uniform)
+    j, fy = locate(grid.y_v, y, grid.uniform)
     return i, j, fx, fy

@@ -50,6 +50,7 @@ class Boundaries(NamedTuple):
     x_edges: jax.Array      # (Nx+1,) cell-edge x coordinates
     y_edges: jax.Array      # (Ny+1,) cell-edge y coordinates
     water: jax.Array        # (Ny, Nx) mask_rho as int32
+    uniform: bool = False   # static: edge axes exactly uniform (fast locate)
 
     @property
     def n_segments(self) -> int:
@@ -133,16 +134,27 @@ def build_boundaries(mask_rho, x_rho, y_rho, closed_edges=False,
             ids = cell_lists[j][i]
             bucket[j, i, :len(ids)] = ids
 
+    from ..grid import _is_uniform
     return Boundaries(
         seg_a=jnp.asarray(seg_a), seg_b=jnp.asarray(seg_b),
         seg_kind=jnp.asarray(seg_kind), bucket=jnp.asarray(bucket),
         x_edges=jnp.asarray(xe), y_edges=jnp.asarray(ye),
         water=jnp.asarray(mask),
+        uniform=_is_uniform(xe) and _is_uniform(ye),
     )
 
 
 def cell_of(bounds: Boundaries, x, y):
     """Rho-cell index of a point (clamped to the grid)."""
+    if bounds.uniform:
+        xe, ye = bounds.x_edges, bounds.y_edges
+        ti = (x - xe[0]) / (xe[1] - xe[0])
+        tj = (y - ye[0]) / (ye[1] - ye[0])
+        i = jnp.clip(jnp.floor(ti).astype(jnp.int32), 0,
+                     bounds.water.shape[1] - 1)
+        j = jnp.clip(jnp.floor(tj).astype(jnp.int32), 0,
+                     bounds.water.shape[0] - 1)
+        return i, j
     i = jnp.clip(jnp.searchsorted(bounds.x_edges, x, side="right") - 1,
                  0, bounds.water.shape[1] - 1)
     j = jnp.clip(jnp.searchsorted(bounds.y_edges, y, side="right") - 1,

@@ -185,12 +185,13 @@ def build_tiled_static(grid: Grid, spec: TileSpec) -> TiledStatic:
 
 
 def pad_fieldset_eta(fs: FieldSet, ny_pad: int) -> FieldSet:
-    """Edge-replicate every field's eta axis to ny_pad rows (v included:
-    its ny-1 rows pad identically, matching the per-tile v axis)."""
+    """Edge-replicate every field's eta axis (uniformly axis 1 in the
+    K-last layout) to ny_pad rows (v included: its ny-1 rows pad
+    identically, matching the per-tile v axis)."""
 
     def pad(a):
         a = np.asarray(a)
-        return jnp.asarray(pad_eta(a, a.ndim - 2, ny_pad))
+        return jnp.asarray(pad_eta(a, 1, ny_pad))
 
     return FieldSet(zeta=pad(fs.zeta), u=pad(fs.u), v=pad(fs.v),
                     w=pad(fs.w), aks=pad(fs.aks), salt=pad(fs.salt),
@@ -204,26 +205,27 @@ def pad_fieldset_eta(fs: FieldSet, ny_pad: int) -> FieldSet:
 def _halo_extend(arr, halo: int, ntiles: int, axis_name: str):
     """Attach halo rows from eta-neighbor tiles via ppermute.
 
-    arr: local (..., ny_loc, nx*) strip.  Domain-edge tiles fill their
-    missing halo with edge-row replication, reproducing the unsharded
+    arr: local (3, ny_loc, ...) strip — eta is axis 1 for every field
+    leaf in the K-last layout.  Domain-edge tiles fill their missing
+    halo with edge-row replication, reproducing the unsharded
     clamp-at-rim semantics.
     """
     if ntiles == 1:
-        lo = jnp.repeat(arr[..., :1, :], halo, axis=-2)
-        hi = jnp.repeat(arr[..., -1:, :], halo, axis=-2)
-        return jnp.concatenate([lo, arr, hi], axis=-2)
-    top = arr[..., -halo:, :]
-    bot = arr[..., :halo, :]
+        lo = jnp.repeat(arr[:, :1], halo, axis=1)
+        hi = jnp.repeat(arr[:, -1:], halo, axis=1)
+        return jnp.concatenate([lo, arr, hi], axis=1)
+    top = arr[:, -halo:]
+    bot = arr[:, :halo]
     up = lax.ppermute(top, axis_name,
                       [(t, t + 1) for t in range(ntiles - 1)])
     dn = lax.ppermute(bot, axis_name,
                       [(t + 1, t) for t in range(ntiles - 1)])
     t_idx = lax.axis_index(axis_name)
-    edge_lo = jnp.repeat(arr[..., :1, :], halo, axis=-2)
-    edge_hi = jnp.repeat(arr[..., -1:, :], halo, axis=-2)
+    edge_lo = jnp.repeat(arr[:, :1], halo, axis=1)
+    edge_hi = jnp.repeat(arr[:, -1:], halo, axis=1)
     halo_lo = jnp.where(t_idx == 0, edge_lo, up)
     halo_hi = jnp.where(t_idx == ntiles - 1, edge_hi, dn)
-    return jnp.concatenate([halo_lo, arr, halo_hi], axis=-2)
+    return jnp.concatenate([halo_lo, arr, halo_hi], axis=1)
 
 
 def _sentinel(p: st.Particles, x_mid, y_mid) -> st.Particles:
@@ -322,10 +324,10 @@ def make_tiled_step(ctx: StepContext, cfg: Config, spec: TileSpec,
     idt = float(cfg.idt)
 
     fs_specs = FieldSet(
-        zeta=P(None, "tile", None), u=P(None, None, "tile", None),
-        v=P(None, None, "tile", None), w=P(None, None, "tile", None),
-        aks=P(None, None, "tile", None), salt=P(None, None, "tile", None),
-        temp=P(None, None, "tile", None), times=P())
+        zeta=P(None, "tile", None), u=P(None, "tile", None, None),
+        v=P(None, "tile", None, None), w=P(None, "tile", None, None),
+        aks=P(None, "tile", None, None), salt=P(None, "tile", None, None),
+        temp=P(None, "tile", None, None), times=P())
     part_spec = jax.tree.map(lambda _: P("dp", "tile"),
                              st.Particles(*(0,) * 12))
     tiled_specs = TiledStatic(
@@ -348,7 +350,8 @@ def make_tiled_step(ctx: StepContext, cfg: Config, spec: TileSpec,
             y_v=ts.y_v_t[0], h=ts.h_t[0], mask_rho=ts.mask_rho_t[0],
             mask_u=ts.mask_u_t[0], mask_v=ts.mask_v_t[0],
             s_rho=grid.s_rho, Cs_r=grid.Cs_r, s_w=grid.s_w,
-            Cs_w=grid.Cs_w, hc=grid.hc, vtransform=grid.vtransform)
+            Cs_w=grid.Cs_w, hc=grid.hc, vtransform=grid.vtransform,
+            uniform=grid.uniform)
         ctx_loc = StepContext(grid=grid_loc, bounds=ctx.bounds,
                               polys=ctx.polys, holes=ctx.holes)
 

@@ -116,11 +116,34 @@ def _coefs(u, h):
 def _thomas(dl, d, du, b):
     """Batched Thomas tridiagonal solve along the LAST axis.
 
-    dl/d/du/b: (..., n); dl[...,0] and du[...,n-1] ignored.  Scan runs
-    over the small n axis; batch axes stay vectorized (TPU-friendly).
+    dl/d/du/b: (..., n); dl[...,0] and du[...,n-1] ignored.  The solve
+    axis is the small vertical-level count (~20), so it is UNROLLED:
+    XLA fuses the whole recurrence into a few kernels over the big
+    batch axes, instead of a 2n-step sequential scan that materializes
+    every carry (the scan variant measured ~an order slower on TPU).
     """
     n = d.shape[-1]
-    # move the solve axis to the front for scan
+    if n > 64:  # fall back to scan for unusually deep columns
+        return _thomas_scan(dl, d, du, b)
+    cp = jnp.zeros_like(d[..., 0])
+    dp = jnp.zeros_like(d[..., 0])
+    cps, dps = [], []
+    for i in range(n):
+        denom = d[..., i] - dl[..., i] * cp
+        cp = du[..., i] / denom
+        dp = (b[..., i] - dl[..., i] * dp) / denom
+        cps.append(cp)
+        dps.append(dp)
+    x = jnp.zeros_like(d[..., 0])
+    xs = [None] * n
+    for i in reversed(range(n)):
+        x = dps[i] - cps[i] * x
+        xs[i] = x
+    return jnp.stack(xs, axis=-1)
+
+
+def _thomas_scan(dl, d, du, b):
+    n = d.shape[-1]
     dl_t = jnp.moveaxis(dl, -1, 0)
     d_t = jnp.moveaxis(d, -1, 0)
     du_t = jnp.moveaxis(du, -1, 0)
@@ -135,7 +158,8 @@ def _thomas(dl, d, du, b):
         return (cp, dp), (cp, dp)
 
     zeros = jnp.zeros_like(d_t[0])
-    (_, _), (cps, dps) = jax.lax.scan(fwd, (zeros, zeros), (dl_t, d_t, du_t, b_t))
+    (_, _), (cps, dps) = jax.lax.scan(fwd, (zeros, zeros),
+                                      (dl_t, d_t, du_t, b_t))
 
     def bwd(x_next, inp):
         cp, dp = inp

@@ -48,12 +48,13 @@ def test_interp_columns_matches_per_level():
     K, ny, nx = 7, 9, 11
     xc = np.linspace(0, 10, nx)
     yc = np.linspace(0, 10, ny)
-    field = rng.normal(size=(3, K, ny, nx))  # 3 time levels
+    field = rng.normal(size=(3, K, ny, nx))  # 3 time levels (ROMS layout)
+    field_klast = np.moveaxis(field, 1, -1)  # engine storage layout
     xs = rng.uniform(0, 10, 20)
     ys = rng.uniform(0, 10, 20)
     i, fx = locate(jnp.asarray(xc), jnp.asarray(xs))
     j, fy = locate(jnp.asarray(yc), jnp.asarray(ys))
-    prof = interp.interp_columns(jnp.asarray(field), i, j, fx, fy)
+    prof = interp.interp_columns(jnp.asarray(field_klast), i, j, fx, fy)
     assert prof.shape == (3, 20, K)
     for k in range(K):
         lvl = interp.interp2d(jnp.asarray(field[:, k]), i, j, fx, fy)
