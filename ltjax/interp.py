@@ -27,18 +27,38 @@ def bilinear_weights(fx, fy):
     return w00, w01, w10, w11
 
 
+def _flat_corners(shape, i, j):
+    """Flat row indices of the 4 bilinear corners, with all leading
+    axes (time) folded into the row index.
+
+    shape: the field's shape up to (..., Ny, Nx[, K]); i/j: (N,).
+    Returns four (L, N) int32 index arrays (L = prod of leading axes),
+    suitable for a single leading-axis row gather — the only gather
+    form the TPU lowers at full speed.
+    """
+    ny, nx = shape[-2], shape[-1]
+    lead = 1
+    for s in shape[:-2]:
+        lead *= s
+    base = j.astype(jnp.int32) * nx + i.astype(jnp.int32)       # (N,)
+    offs = (jnp.arange(lead, dtype=jnp.int32) * (ny * nx))[:, None]
+    i00 = offs + base
+    return i00, i00 + 1, i00 + nx, i00 + nx + 1
+
+
 def interp2d(field, i, j, fx, fy):
     """Bilinear interp of ``field[..., eta, xi]`` at fractional cells.
 
     field: (..., Ny, Nx); i/j/fx/fy: (N,). Leading field axes broadcast;
     returns (..., N).
     """
-    f00 = field[..., j, i]
-    f01 = field[..., j, i + 1]
-    f10 = field[..., j + 1, i]
-    f11 = field[..., j + 1, i + 1]
+    lead_shape = field.shape[:-2]
+    flat = field.reshape(-1)
+    i00, i01, i10, i11 = _flat_corners(field.shape, i, j)
     w00, w01, w10, w11 = bilinear_weights(fx, fy)
-    return f00 * w00 + f01 * w01 + f10 * w10 + f11 * w11
+    out = (flat[i00] * w00 + flat[i01] * w01
+           + flat[i10] * w10 + flat[i11] * w11)
+    return out.reshape(lead_shape + i.shape)
 
 
 def interp_columns(field, i, j, fx, fy):
@@ -47,16 +67,18 @@ def interp_columns(field, i, j, fx, fy):
     field: (..., Ny, Nx, K) **K-last** (see ltjax.fields);  returns
     (..., N, K) vertical profiles at each particle (the reference's
     per-s-level getInterp loop inside WCTS_ITPI, vectorized).  Each
-    corner gather pulls one contiguous K-row per particle — the
-    TPU-friendly gather shape.
+    corner is one contiguous K-row fetched by a flat leading-axis row
+    gather — the TPU-friendly form (strided multi-axis fancy indexing
+    lowers much worse).
     """
-    f00 = field[..., j, i, :]
-    f01 = field[..., j, i + 1, :]
-    f10 = field[..., j + 1, i, :]
-    f11 = field[..., j + 1, i + 1, :]
+    K = field.shape[-1]
+    lead_shape = field.shape[:-3]
+    flat = field.reshape(-1, K)
+    i00, i01, i10, i11 = _flat_corners(field.shape[:-1], i, j)
     w00, w01, w10, w11 = bilinear_weights(fx, fy)
-    return (f00 * w00[..., None] + f01 * w01[..., None]
-            + f10 * w10[..., None] + f11 * w11[..., None])
+    prof = (flat[i00] * w00[..., None] + flat[i01] * w01[..., None]
+            + flat[i10] * w10[..., None] + flat[i11] * w11[..., None])
+    return prof.reshape(lead_shape + i.shape + (K,))
 
 
 def polintd(f, times, t):

@@ -25,6 +25,16 @@ class NCFile:
         with open(path, "rb") as f:
             magic = f.read(8)
         if magic[:3] == b"CDF":
+            # prefer the native C++ reader (GIL-free bulk reads for the
+            # prefetch pipeline, ltjax/native); scipy is the fallback
+            # and still serves attribute reads
+            try:
+                from ..native import NativeCDF
+                self._kind = "native"
+                self._f = NativeCDF(path)
+                return
+            except OSError:
+                pass
             from scipy.io import netcdf_file
             self._kind = "cdf"
             self._f = netcdf_file(path, "r", mmap=True)
@@ -37,6 +47,8 @@ class NCFile:
 
     # -- introspection ----------------------------------------------------
     def variables(self):
+        if self._kind == "native":
+            return self._f.variables()
         if self._kind == "cdf":
             return list(self._f.variables)
         return [k for k in self._f.keys()]
@@ -45,6 +57,8 @@ class NCFile:
         return name in self.variables()
 
     def dims(self, name: str) -> Tuple[int, ...]:
+        if self._kind == "native":
+            return self._f.dims(name)
         if self._kind == "cdf":
             return self._f.variables[name].shape
         return self._f[name].shape
@@ -54,9 +68,16 @@ class NCFile:
         return self.dims(name)[0]
 
     # -- data -------------------------------------------------------------
-    def read(self, name: str, index=None) -> np.ndarray:
-        """Read a whole variable or one leading-axis record (hyperslab)."""
-        if self._kind == "cdf":
+    def read(self, name: str, index=None, dtype=None) -> np.ndarray:
+        """Read a whole variable or one leading-axis record (hyperslab).
+
+        dtype: optional target dtype hint ("float32"/"float64"); the
+        native reader converts during the read, other backends convert
+        after.
+        """
+        if self._kind == "native":
+            out = self._f.read(name, index, dtype=dtype or "float64")
+        elif self._kind == "cdf":
             var = self._f.variables[name]
             if var.shape == ():  # scalar var: scipy can't slice 0-d data
                 data = var.getValue()
@@ -66,10 +87,17 @@ class NCFile:
         else:
             ds = self._f[name]
             out = np.asarray(ds[index] if index is not None else ds[:])
+        if dtype is not None:
+            out = np.asarray(out, dtype)
         return out
 
     def read_attr(self, name: str, attr: str, default=None):
         try:
+            if self._kind == "native":
+                # the C++ reader skips attributes; parse them via scipy
+                from scipy.io import netcdf_file
+                with netcdf_file(self.path, "r", mmap=False) as f:
+                    return getattr(f.variables[name], attr)
             if self._kind == "cdf":
                 return getattr(self._f.variables[name], attr)
             return self._f[name].attrs[attr]

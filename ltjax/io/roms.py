@@ -208,7 +208,8 @@ class RomsSeries:
                     const: float, shape_like: Optional[np.ndarray]):
         name = self._names.get(key)
         if read_flag and name:
-            return np.asarray(self._nc.read(name, rec), np.float32)
+            return np.asarray(self._nc.read(name, rec, dtype="float32"),
+                              np.float32)
         if shape_like is not None:
             return np.full(shape_like.shape, const, np.float32)
         return None

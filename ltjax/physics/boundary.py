@@ -212,14 +212,19 @@ def reflect(bounds: Boundaries, x0, y0, x1, y1, open_exits: bool,
                     & (ts >= 0.0) & (ts <= 1.0))
         tp_masked = jnp.where(crossing, tp, jnp.asarray(jnp.inf, dtype))
         first = jnp.argmin(tp_masked, axis=1)
-        any_cross = jnp.take_along_axis(crossing, first[:, None], 1)[:, 0]
+        # select the first-crossing segment via a one-hot reduction —
+        # take_along_axis over the minor axis is a per-lane gather the
+        # TPU lowers poorly (see ltjax.tension._gather_intervals)
+        onehot_b = first[:, None] == jnp.arange(tp.shape[1])
+        onehot = onehot_b.astype(dtype)
+        any_cross = jnp.any(crossing & onehot_b, axis=1)
         act = any_cross & ~exited
 
-        tpf = jnp.take_along_axis(tp_masked, first[:, None], 1)[:, 0]
+        tpf = jnp.sum(jnp.where(onehot_b, tp_masked, 0.0), axis=1)
         tpf = jnp.where(act, tpf, 0.0)
-        exf = jnp.take_along_axis(ex, first[:, None], 1)[:, 0]
-        eyf = jnp.take_along_axis(ey, first[:, None], 1)[:, 0]
-        kindf = jnp.take_along_axis(kind, first[:, None], 1)[:, 0]
+        exf = jnp.sum(ex * onehot, axis=1)
+        eyf = jnp.sum(ey * onehot, axis=1)
+        kindf = jnp.sum(kind * onehot.astype(kind.dtype), axis=1)
 
         ix = px0 + tpf * (px1 - px0)                    # intersection point
         iy = py0 + tpf * (py1 - py0)

@@ -213,8 +213,28 @@ def _interval_index(xk, x):
     return jnp.clip(j, 0, n - 2)
 
 
-def _gather_interval(arr, j):
-    return jnp.take_along_axis(arr, j[..., None], axis=-1)[..., 0]
+def _gather_intervals(x, xk, arrs):
+    """Select per-query interval endpoints WITHOUT a lane gather.
+
+    ``take_along_axis`` over the minor (lane) axis is a per-lane
+    dynamic gather — unsupported in TPU hardware and lowered to
+    something serialized; it dominated the whole engine's profile.
+    Instead build the one-hot interval mask (..., n-1) once and reduce
+    each requested (left, right) endpoint pair with multiplies+sums —
+    pure VPU work.
+
+    arrs: list of (..., n) knot arrays; returns the flat list
+    [a0_left, a0_right, a1_left, a1_right, ...].
+    """
+    n = xk.shape[-1]
+    j = _interval_index(xk, x)
+    one_hot = (j[..., None]
+               == jnp.arange(n - 1, dtype=j.dtype)).astype(xk.dtype)
+    out = []
+    for a in arrs:
+        out.append(jnp.sum(a[..., :-1] * one_hot, axis=-1))
+        out.append(jnp.sum(a[..., 1:] * one_hot, axis=-1))
+    return out
 
 
 def evaluate(xk, yk, z2, sigma, x):
@@ -224,16 +244,12 @@ def evaluate(xk, yk, z2, sigma, x):
     the water column rather than extrapolating [conf: M]).
     """
     x = jnp.clip(x, xk[..., 0], xk[..., -1])
-    j = _interval_index(xk, x)
-    x0 = _gather_interval(xk, j)
-    x1 = _gather_interval(xk, j + 1)
-    y0 = _gather_interval(yk, j)
-    y1 = _gather_interval(yk, j + 1)
-    zz0 = _gather_interval(z2, j)
-    zz1 = _gather_interval(z2, j + 1)
+    sig = jnp.broadcast_to(jnp.asarray(sigma, xk.dtype),
+                           xk[..., :-1].shape)
+    sig = jnp.concatenate([sig, sig[..., -1:]], axis=-1)  # pad to n
+    x0, x1, y0, y1, zz0, zz1, u, _ = _gather_intervals(
+        x, xk, [xk, yk, z2, sig])
     h = x1 - x0
-    sig = jnp.broadcast_to(jnp.asarray(sigma, h.dtype), xk[..., :-1].shape)
-    u = _gather_interval(sig, j)
     B2 = (x - x0) / h
     B1 = 1.0 - B2
     return y0 * B1 + y1 * B2 + h * h * (zz0 * _gs(u, B1) + zz1 * _gs(u, B2))
@@ -242,16 +258,12 @@ def evaluate(xk, yk, z2, sigma, x):
 def evaluate_deriv(xk, yk, z2, sigma, x):
     """Evaluate dH/dx at x (HPVAL analog); x clamped to knot range."""
     x = jnp.clip(x, xk[..., 0], xk[..., -1])
-    j = _interval_index(xk, x)
-    x0 = _gather_interval(xk, j)
-    x1 = _gather_interval(xk, j + 1)
-    y0 = _gather_interval(yk, j)
-    y1 = _gather_interval(yk, j + 1)
-    zz0 = _gather_interval(z2, j)
-    zz1 = _gather_interval(z2, j + 1)
+    sig = jnp.broadcast_to(jnp.asarray(sigma, xk.dtype),
+                           xk[..., :-1].shape)
+    sig = jnp.concatenate([sig, sig[..., -1:]], axis=-1)
+    x0, x1, y0, y1, zz0, zz1, u, _ = _gather_intervals(
+        x, xk, [xk, yk, z2, sig])
     h = x1 - x0
-    sig = jnp.broadcast_to(jnp.asarray(sigma, h.dtype), xk[..., :-1].shape)
-    u = _gather_interval(sig, j)
     B2 = (x - x0) / h
     B1 = 1.0 - B2
     return (y1 - y0) / h + h * (zz0 * _ds(u, B1) - zz1 * _ds(u, B2))
