@@ -139,6 +139,10 @@ class Config:
     dtype_field: str = "float32"  # field gather/interpolation dtype
     tension_sigma: float = 0.0    # uniform dimensionless spline tension;
                                   #   <0 => adaptive (SIGS-like) selection
+    fast_interp: bool = True      # packed-table interpolation path
+                                  #   (ltjax.packed): time-collapse-first
+                                  #   + per-column splines; False =>
+                                  #   reference-ordered native path
     reflect_iters: int = 4        # fixed boundary-reflection iteration count
     mesh_particles: int = 1       # mesh axis size: particle data-parallel
     mesh_tiles: int = 1           # mesh axis size: domain tiles (eta strips)

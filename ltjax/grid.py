@@ -71,12 +71,12 @@ class Grid(NamedTuple):
 # retrace if it changes, which is correct behavior.
 
 
-def _is_uniform(ax: np.ndarray) -> bool:
+def _is_uniform(ax: np.ndarray, rtol: float = 1e-9) -> bool:
     d = np.diff(np.asarray(ax, np.float64))
     if d.size == 0:
         return True
     d0 = float(np.mean(d))
-    return bool(np.all(np.abs(d - d0) <= 1e-9 * max(abs(d0), 1.0)))
+    return bool(np.all(np.abs(d - d0) <= rtol * max(abs(d0), 1.0)))
 
 
 def make_grid(x_rho, y_rho, h, mask_rho, s_rho, Cs_r, s_w, Cs_w, hc,

@@ -50,6 +50,13 @@ class Boundaries(NamedTuple):
     x_edges: jax.Array      # (Nx+1,) cell-edge x coordinates
     y_edges: jax.Array      # (Ny+1,) cell-edge y coordinates
     water: jax.Array        # (Ny, Nx) mask_rho as int32
+    cell_rows: jax.Array    # (Ny*Nx, 8 + 8*S_max) flat per-cell rows:
+                            #   lane 0 = water flag; slot s at 8+8s =
+                            #   [ax, ay, bx, by, kind, valid, 0, 0].
+                            #   One row gather serves the whole reflect
+                            #   pass (element gathers through id arrays
+                            #   are ~3x slower per fetch on TPU and
+                            #   there were 5 of them).
     uniform: bool = False   # static: edge axes exactly uniform (fast locate)
 
     @property
@@ -134,13 +141,29 @@ def build_boundaries(mask_rho, x_rho, y_rho, closed_edges=False,
             ids = cell_lists[j][i]
             bucket[j, i, :len(ids)] = ids
 
+    # flat per-cell gather rows: [water, 0*7, (ax,ay,bx,by,kind,valid,0,0)*]
+    rows = np.zeros((ny * nx, 8 + 8 * s_max), dtype)
+    rows[:, 0] = mask.reshape(-1).astype(dtype)
+    for j in range(ny):
+        for i in range(nx):
+            for s, sid in enumerate(cell_lists[j][i]):
+                o = 8 + 8 * s
+                rows[j * nx + i, o:o + 6] = [
+                    seg_a[sid, 0], seg_a[sid, 1], seg_b[sid, 0],
+                    seg_b[sid, 1], float(seg_kind[sid]), 1.0]
+
     from ..grid import _is_uniform
+    # Loose tolerance: coordinates may be f32-rounded images of an
+    # exactly-uniform axis; a 1e-4 fractional cell-locate error is
+    # harmless here (buckets cover the 3x3 neighborhood, and in_water
+    # only needs the containing cell).  The searchsorted fallback is a
+    # serialized binary search on TPU (~40x the whole reflect cost).
     return Boundaries(
         seg_a=jnp.asarray(seg_a), seg_b=jnp.asarray(seg_b),
         seg_kind=jnp.asarray(seg_kind), bucket=jnp.asarray(bucket),
         x_edges=jnp.asarray(xe), y_edges=jnp.asarray(ye),
-        water=jnp.asarray(mask),
-        uniform=_is_uniform(xe) and _is_uniform(ye),
+        water=jnp.asarray(mask), cell_rows=jnp.asarray(rows),
+        uniform=_is_uniform(xe, 1e-4) and _is_uniform(ye, 1e-4),
     )
 
 
@@ -167,7 +190,9 @@ def in_water(bounds: Boundaries, x, y):
     i, j = cell_of(bounds, x, y)
     inside = ((x >= bounds.x_edges[0]) & (x <= bounds.x_edges[-1])
               & (y >= bounds.y_edges[0]) & (y <= bounds.y_edges[-1]))
-    return inside & (bounds.water[j, i] > 0)
+    nx = bounds.water.shape[1]
+    wet = bounds.cell_rows[j * nx + i, 0] > 0.5
+    return inside & wet
 
 
 def reflect(bounds: Boundaries, x0, y0, x1, y1, open_exits: bool,
@@ -187,21 +212,24 @@ def reflect(bounds: Boundaries, x0, y0, x1, y1, open_exits: bool,
     exited = jnp.zeros(n, bool)
     px0, py0, px1, py1 = x0, y0, x1, y1
 
+    nx_cells = bounds.water.shape[1]
+    s_max = (bounds.cell_rows.shape[1] - 8) // 8
+
     for _ in range(n_iter):
         ci, cj = cell_of(bounds, px0, py0)
-        sids = bounds.bucket[cj, ci]                    # (N, S_max)
-        valid = sids >= 0
-        sid_safe = jnp.maximum(sids, 0)
-        A = bounds.seg_a[sid_safe]                      # (N, S_max, 2)
-        B = bounds.seg_b[sid_safe]
-        kind = bounds.seg_kind[sid_safe]
+        rows = bounds.cell_rows[cj * nx_cells + ci]     # (N, 8+8*S_max)
+        slots = rows[:, 8:].reshape(-1, s_max, 8).astype(dtype)
+        ax = slots[..., 0]
+        ay = slots[..., 1]
+        kind = slots[..., 4].astype(jnp.int32)
+        valid = slots[..., 5] > 0.5
 
         dx = (px1 - px0)[:, None]
         dy = (py1 - py0)[:, None]
-        ex = B[..., 0] - A[..., 0]
-        ey = B[..., 1] - A[..., 1]
-        apx = A[..., 0] - px0[:, None]
-        apy = A[..., 1] - py0[:, None]
+        ex = slots[..., 2] - ax
+        ey = slots[..., 3] - ay
+        apx = ax - px0[:, None]
+        apy = ay - py0[:, None]
         denom = dx * ey - dy * ex
         denom_safe = jnp.where(jnp.abs(denom) < 1e-30,
                                jnp.asarray(1e-30, dtype), denom)

@@ -118,10 +118,11 @@ def run(cfg: Config, resume: bool = False,
     global_rec = 0
 
     start_ext = 0
+    resumed_extra = None
     if resume:
         path = ckpt.latest(cfg.checkpoint_dir)
         if path:
-            particles, start_ext, global_rec, _ = ckpt.load(path)
+            particles, start_ext, global_rec, resumed_extra = ckpt.load(path)
             series.seek(global_rec - 3)  # re-prime the 3-record buffer
         else:
             particles = init_particles_from_parfile(cfg)
@@ -131,8 +132,14 @@ def run(cfg: Config, resume: bool = False,
     # --- prime the triple buffer (initHydro) -----------------------------
     field_dtype = jnp.dtype(cfg.dtype_field)
     recs = [series.next_record() for _ in range(3)]
-    global_rec += 3
-    t_base = recs[0]["time"]
+    if resumed_extra is None:
+        global_rec += 3
+        t_base = recs[0]["time"]
+    else:
+        # global_rec already counts the re-primed records; field times
+        # must stay on the original run clock, not restart at zero
+        t_base = resumed_extra.get(
+            "t_base", recs[0]["time"] - (global_rec - 3) * cfg.dt)
     fs = make_fieldset(
         np.stack([r["zeta"] for r in recs]),
         np.stack([r["u"] for r in recs]),
@@ -194,7 +201,8 @@ def run(cfg: Config, resume: bool = False,
             if cfg.checkpoint_every and (ext + 1) % cfg.checkpoint_every == 0:
                 ckpt.save(os.path.join(cfg.checkpoint_dir,
                                        f"ckpt_{ext + 1}.npz"),
-                          particles, ext + 1, global_rec)
+                          particles, ext + 1, global_rec,
+                          extra={"t_base": float(t_base)})
 
             log = {"ext": ext, "sim_t": t_ext + cfg.dt,
                    "steps_per_s": cfg.numpar * cfg.internal_steps / step_s,

@@ -36,6 +36,7 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
+from . import packed as _pk
 from . import state as st
 from .config import Config
 from .fields import FieldSet
@@ -357,10 +358,13 @@ def make_tiled_step(ctx: StepContext, cfg: Config, spec: TileSpec,
 
         p = jax.tree.map(lambda a: a.reshape(a.shape[2:]), pbuf)
 
+        prec = (_pk.build_packed_records(grid_loc, fs_loc)
+                if cfg.fast_interp and cfg.tension_sigma >= 0 else None)
+
         def scan_body(carry, i):
             t = t0 + i * idt
             return internal_step(ctx_loc, cfg, base_key, carry, fs_loc, t,
-                                 ext_idx * n_int + i), None
+                                 ext_idx * n_int + i, prec), None
 
         p, _ = lax.scan(scan_body, p, jnp.arange(n_int))
 

@@ -20,6 +20,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from . import packed as pk
 from . import state as st
 from .config import Config
 from .fields import FieldSet
@@ -57,14 +58,24 @@ def make_params(cfg: Config):
 
 
 def internal_step(ctx: StepContext, cfg: Config, base_key,
-                  p: st.Particles, fields: FieldSet, t, step_idx
+                  p: st.Particles, fields: FieldSet, t, step_idx,
+                  prec: "pk.PackedRecords | None" = None
                   ) -> st.Particles:
-    """One internal timestep for the whole particle batch."""
+    """One internal timestep for the whole particle batch.
+
+    ``prec`` (packed per-record tables) enables the gather-optimized
+    interpolation path (ltjax.packed) for advection and the zeta/h
+    lookups; turbulence/behavior/scalar sampling keep the native path.
+    """
     adv, turb, beh = make_params(cfg)
     grid, bounds = ctx.grid, ctx.bounds
     dtype = p.x.dtype
     idt = jnp.asarray(float(cfg.idt), dtype)
     tt = jnp.asarray(t, dtype)
+    fast = prec is not None
+    if fast:
+        tabs = pk.stage_tables(grid, prec, t, float(cfg.idt),
+                               cfg.tension_sigma)
 
     # --- release (DOB reached) & masks ---------------------------------
     release = (p.status == st.NOT_RELEASED) & (tt >= p.dob)
@@ -72,7 +83,13 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
     active = status == st.ACTIVE
 
     # --- advection ------------------------------------------------------
-    dxa, dya, dza = rk4_displacement(grid, fields, p.x, p.y, p.z, tt, adv)
+    if fast:
+        dxa, dya, dza = pk.rk4_displacement_packed(
+            grid, tabs, p.x, p.y, p.z, cfg.tension_sigma, cfg.z0,
+            float(cfg.idt))
+    else:
+        dxa, dya, dza = rk4_displacement(grid, fields, p.x, p.y, p.z, tt,
+                                         adv)
 
     dx, dy, dz = dxa, dya, dza
 
@@ -89,9 +106,18 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
     # --- behavior -------------------------------------------------------
     dies = jnp.zeros(p.n, bool)
     if cfg.Behavior != 0 or cfg.mortality:
-        zeta_p, h_p = zeta_h_at(grid, fields, p.x, p.y, tt)
+        if fast:
+            zeta_p, h_p = pk.zeta_h_packed(grid, tabs[0], p.x, p.y)
+        else:
+            zeta_p, h_p = zeta_h_at(grid, fields, p.x, p.y, tt)
         if cfg.Behavior == 7:
-            cur = find_currents(grid, fields, p.x, p.y, p.z, tt, adv)[:2]
+            if fast:
+                cur = pk.find_currents_packed(grid, tabs[0], p.x, p.y,
+                                              p.z, cfg.tension_sigma,
+                                              cfg.z0)[:2]
+            else:
+                cur = find_currents(grid, fields, p.x, p.y, p.z, tt,
+                                    adv)[:2]
         else:
             cur = (jnp.zeros(p.n, dtype), jnp.zeros(p.n, dtype))
         bx, by, bz, dies = bh.behave(grid, fields, base_key, step_idx,
@@ -110,7 +136,10 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
 
     # --- vertical reflection at the new column --------------------------
     z1 = p.z + dz
-    zeta1, h1 = zeta_h_at(grid, fields, xr, yr, tt + idt)
+    if fast:
+        zeta1, h1 = pk.zeta_h_packed(grid, tabs[2], xr, yr)
+    else:
+        zeta1, h1 = zeta_h_at(grid, fields, xr, yr, tt + idt)
     zr, hit_surf, hit_bot = bd.reflect_vertical(z1, zeta1, h1)
 
     # --- settlement ------------------------------------------------------
@@ -164,17 +193,27 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
 
 def make_external_step(ctx: StepContext, cfg: Config, base_key):
     """Compile one external step: scan of cfg.internal_steps internal
-    steps, fields fixed (the triple buffer covers [t_c, t_f])."""
+    steps, fields fixed (the triple buffer covers [t_c, t_f]).
+
+    With ``cfg.fast_interp`` the per-record packed tables are built
+    once per external step (dense, grid-sized) and the scan body runs
+    the gather-optimized path."""
     n_int = cfg.internal_steps
+
+    # adaptive tension (<0) varies per interval/particle — native only
+    use_fast = cfg.fast_interp and cfg.tension_sigma >= 0
 
     @jax.jit
     def ext_step(p: st.Particles, fields: FieldSet, t0, ext_idx):
+        prec = (pk.build_packed_records(ctx.grid, fields)
+                if use_fast else None)
+
         def body(carry, i):
             pp = carry
             t = t0 + i * float(cfg.idt)
             step_idx = ext_idx * n_int + i
             return internal_step(ctx, cfg, base_key, pp, fields, t,
-                                 step_idx), None
+                                 step_idx, prec), None
 
         p2, _ = jax.lax.scan(body, p, jnp.arange(n_int))
         return p2
