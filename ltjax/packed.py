@@ -329,6 +329,139 @@ def rk4_displacement_packed(grid: Grid, tables, x, y, z, sigma: float,
     return dx, dy, dz
 
 
+class ValueTable(NamedTuple):
+    """One time-collapsed values-only table for the Pallas kernel path.
+
+    ``hi``/``lo`` are the bf16 mantissa split (hi = round(f32),
+    lo = round(f32 - hi)) consumed by the kernel's MXU passes; ``zh_rows``
+    are the 8-lane pair rows for zeta/h-only lookups; ``full`` is the
+    f32 original (kernel fallback mirror + tests).
+    """
+    full: jax.Array   # (Ny, Nx, HL) f32 value lanes [u|v|w|zeta|h|pad]
+    hi: jax.Array     # (Ny, Nx, HL) bf16
+    lo: jax.Array     # (Ny, Nx, HL) bf16
+    zh_rows: jax.Array  # (Ny*Nx, 8) pair rows [zeta,h,0,0]x2
+    t: jax.Array
+
+
+def collapse_stage_values(grid: Grid, rec: PackedRecords, t) -> ValueTable:
+    """Time-collapse to stage time t, values only (no spline fits —
+    the kernel fits per particle on the blended profile, the native
+    vertical scheme)."""
+    us, ws = grid.us, grid.ws
+    tt = jnp.asarray(t, rec.times.dtype)
+    vals = polintd(rec.tab, rec.times, tt)        # (C, nv)
+    nv = n_value_lanes(us, ws)
+    HL = half_lanes(us, ws)
+    C = vals.shape[0]
+    vals = jnp.concatenate(
+        [vals, jnp.zeros((C, HL - nv), vals.dtype)], axis=-1)
+    zeta = vals[:, nv - 2]
+    h = vals[:, nv - 1]
+    zh = jnp.stack([zeta, h, jnp.zeros_like(zeta), jnp.zeros_like(zeta)],
+                   axis=-1)
+    zh_rows = jnp.concatenate([zh, jnp.roll(zh, -1, axis=0)], axis=-1)
+    f32 = vals.astype(jnp.float32)
+    hi = f32.astype(jnp.bfloat16)
+    lo = (f32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    shape = (grid.ny, grid.nx, HL)
+    return ValueTable(full=vals.reshape(shape), hi=hi.reshape(shape),
+                      lo=lo.reshape(shape), zh_rows=zh_rows, t=tt)
+
+
+def _fit_eval_profile(grid: Grid, prof_u, prof_v, prof_w, zeta_p, h_p, z,
+                      sigma: float):
+    """Blend-then-fit vertical scheme on blended profiles (the native
+    reference ordering; exact XLA mirror of the kernel's in-VMEM math).
+
+    prof_u/v: (..., us); prof_w: (..., ws); zeta_p/h_p/z: (...,).
+    """
+    dtype = prof_u.dtype
+    sdt = grid.s_rho.dtype
+    z_r = _knots(zeta_p.astype(sdt), h_p.astype(sdt), grid.s_rho,
+                 grid.Cs_r, grid.hc, grid.vtransform).astype(dtype)
+    z_w = _knots(zeta_p.astype(sdt), h_p.astype(sdt), grid.s_w,
+                 grid.Cs_w, grid.hc, grid.vtransform).astype(dtype)
+    sig = jnp.asarray(sigma, dtype)
+    z2u = tension.fit(z_r, prof_u, sig)
+    z2v = tension.fit(z_r, prof_v, sig)
+    z2w = tension.fit(z_w, prof_w, sig)
+    u = _eval_cubic_like(z, z_r, prof_u, z2u, sigma)
+    v = _eval_cubic_like(z, z_r, prof_v, z2v, sigma)
+    w = _eval_cubic_like(z, z_w, prof_w, z2w, sigma)
+    return u, v, w, z_r[..., 0]
+
+
+def find_currents_collapsed(grid: Grid, vt: ValueTable, x, y, z,
+                            sigma: float, z0m: float):
+    """Blend-then-fit currents from a values table (XLA path).
+
+    This is the exact reference-ordered vertical scheme on the
+    time-collapsed table — the oracle for (and fallback of) the Pallas
+    kernel.
+    """
+    dtype = x.dtype
+    us, ws = grid.us, grid.ws
+    nv = n_value_lanes(us, ws)
+    i, fx = locate(grid.x_rho, x, grid.uniform)
+    j, fy = locate(grid.y_rho, y, grid.uniform)
+    flat = vt.full.reshape(-1, vt.full.shape[-1])
+    nx = grid.nx
+    c00 = j.astype(jnp.int32) * nx + i.astype(jnp.int32)
+    r00 = flat[c00]
+    r01 = flat[c00 + 1]
+    r10 = flat[c00 + nx]
+    r11 = flat[c00 + nx + 1]
+    fxd = fx.astype(flat.dtype)[:, None]
+    fyd = fy.astype(flat.dtype)[:, None]
+    blended = ((r00 * (1 - fxd) + r01 * fxd) * (1 - fyd)
+               + (r10 * (1 - fxd) + r11 * fxd) * fyd)      # (N, HL)
+    zeta_p = blended[:, nv - 2]
+    h_p = blended[:, nv - 1]
+    u, v, w, z_r0 = _fit_eval_profile(
+        grid, blended[:, 0:us], blended[:, us:2 * us],
+        blended[:, 2 * us:2 * us + ws], zeta_p, h_p, z.astype(blended.dtype),
+        sigma)
+    z0m = jnp.asarray(z0m, dtype)
+    u = u.astype(dtype)
+    v = v.astype(dtype)
+    w = w.astype(dtype)
+    zab = z + h_p.astype(dtype)
+    ztb = jnp.maximum(z_r0.astype(dtype) + h_p.astype(dtype), 2.0 * z0m)
+    decay = jnp.log(jnp.maximum(zab, z0m) / z0m) / jnp.log(ztb / z0m)
+    factor = jnp.where(zab < ztb, jnp.clip(decay, 0.0, 1.0), 1.0)
+    return u * factor, v * factor, w
+
+
+def rk4_displacement_collapsed(grid: Grid, vtabs, x, y, z, sigma: float,
+                               z0m: float, idt: float):
+    """RK4 from 3 values tables, blend-then-fit scheme (kernel mirror)."""
+    t1, t2, t4 = vtabs
+    dt = jnp.asarray(idt, x.dtype)
+    half = 0.5 * dt
+    u1, v1, w1 = find_currents_collapsed(grid, t1, x, y, z, sigma, z0m)
+    u2, v2, w2 = find_currents_collapsed(
+        grid, t2, x + u1 * half, y + v1 * half, z + w1 * half, sigma, z0m)
+    u3, v3, w3 = find_currents_collapsed(
+        grid, t2, x + u2 * half, y + v2 * half, z + w2 * half, sigma, z0m)
+    u4, v4, w4 = find_currents_collapsed(
+        grid, t4, x + u3 * dt, y + v3 * dt, z + w3 * dt, sigma, z0m)
+    sixth = dt / 6.0
+    return (sixth * (u1 + 2 * u2 + 2 * u3 + u4),
+            sixth * (v1 + 2 * v2 + 2 * v3 + v4),
+            sixth * (w1 + 2 * w2 + 2 * w3 + w4))
+
+
+def stage_value_tables(grid: Grid, rec: PackedRecords, t, idt: float):
+    """The 3 RK4 stage values tables for the kernel path."""
+    tdt = rec.times.dtype
+    tt = jnp.asarray(t, tdt)
+    return (collapse_stage_values(grid, rec, tt),
+            collapse_stage_values(grid, rec,
+                                  tt + jnp.asarray(0.5 * idt, tdt)),
+            collapse_stage_values(grid, rec, tt + jnp.asarray(idt, tdt)))
+
+
 def stage_tables(grid: Grid, rec: PackedRecords, t, idt: float,
                  sigma: float):
     """The 3 RK4 stage tables for an internal step starting at t."""

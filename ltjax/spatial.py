@@ -1,0 +1,79 @@
+"""Spatial locality: Morton ordering of the particle batch.
+
+Reference: none — the reference visits particles in storage order
+(LTRANS.f90 ``do n=1,numpar``).  On TPU the fused interpolation kernel
+(ltjax.kernels.gather_interp) processes particles in fixed-size blocks
+against a small VMEM window of grid cells; that only works when a
+block's particles are spatially compact.  A Morton (Z-order) sort of
+the whole state once per external step keeps blocks compact: relative
+dispersion within a block over one external step is tiny compared to
+bulk drift, so window origins recomputed per internal step stay valid
+between sorts.
+
+The permutation is applied by packing the 12 state columns into
+(N, 16)-lane rows (int columns bitcast to f32) and row-gathering —
+element-gathering 12 separate columns is ~3x slower per fetch
+(BASELINE.md microarchitecture facts).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import state as st
+
+_F = ("x", "y", "z", "dob", "age", "salt", "temp")          # float cols
+_I = ("status", "pid", "settle_poly", "hit_land", "hit_bottom")  # int32
+
+
+def morton_key(i, j, bits: int = 14):
+    """Interleave the bits of two non-negative int32 coords (Z-order)."""
+    def spread(v):
+        v = v.astype(jnp.uint32) & ((1 << bits) - 1)
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+    return (spread(i) | (spread(j) << 1)).astype(jnp.int32)
+
+
+def _pack_rows(p: st.Particles) -> jax.Array:
+    """(N, 16) f32 rows; int32 columns ride along bitcast to f32."""
+    cols = [p._asdict()[k].astype(jnp.float32) for k in _F]
+    cols += [jax.lax.bitcast_convert_type(p._asdict()[k], jnp.float32)
+             for k in _I]
+    rows = jnp.stack(cols, axis=-1)                       # (N, 12)
+    pad = jnp.zeros((rows.shape[0], 16 - rows.shape[1]), jnp.float32)
+    return jnp.concatenate([rows, pad], axis=-1)
+
+
+def _unpack_rows(rows: jax.Array, like: st.Particles) -> st.Particles:
+    vals = {}
+    for k, c in zip(_F, range(len(_F))):
+        vals[k] = rows[:, c].astype(like._asdict()[k].dtype)
+    for k, c in zip(_I, range(len(_F), len(_F) + len(_I))):
+        vals[k] = jax.lax.bitcast_convert_type(rows[:, c], jnp.int32)
+    return st.Particles(**vals)
+
+
+def sort_by_cell(p: st.Particles, i, j):
+    """Morton-sort the state by cell index; returns (p_sorted, perm).
+
+    Requires f32 position dtype (the kernel path's precondition); the
+    permutation row-gather exactly preserves every column bit pattern.
+    """
+    key = morton_key(i, j)
+    perm = jnp.argsort(key)
+    rows = _pack_rows(p)[perm]
+    return _unpack_rows(rows, p), perm
+
+
+def unsort(p: st.Particles, perm) -> st.Particles:
+    """Invert sort_by_cell's permutation (restores storage order)."""
+    n = perm.shape[0]
+    inv = jnp.zeros(n, perm.dtype).at[perm].set(
+        jnp.arange(n, dtype=perm.dtype))
+    rows = _pack_rows(p)[inv]
+    return _unpack_rows(rows, p)

@@ -85,6 +85,36 @@ def test_external_step_fast_vs_native(case):
     assert np.array_equal(np.asarray(pf.status), np.asarray(pn.status))
 
 
+def test_rk4_collapsed_matches_native(case):
+    """Kernel-mirror path (values tables + blend-then-fit) vs native.
+
+    The analytic case has time-constant zeta, so time-collapse commutes
+    with the (linear-in-y) spline fit and the blend-then-fit ordering
+    reproduces the native path exactly."""
+    c, fs, x, y, z = case
+    grid = c.grid
+    adv = AdvectParams(sigma=0.0, z0=5e-4, idt=120.0)
+    dx0, dy0, dz0 = rk4_displacement(grid, fs, x, y, z, 100.0, adv)
+    rec = pk.build_packed_records(grid, fs)
+    vtabs = pk.stage_value_tables(grid, rec, 100.0, 120.0)
+    dx1, dy1, dz1 = pk.rk4_displacement_collapsed(grid, vtabs, x, y, z,
+                                                  0.0, 5e-4, 120.0)
+    np.testing.assert_allclose(dx1, dx0, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(dy1, dy0, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(dz1, dz0, rtol=1e-9, atol=1e-9)
+
+
+def test_value_table_hilo_split_accuracy(case):
+    """bf16 hi+lo mantissa split reconstructs f32 to ~2^-16 relative."""
+    c, fs, x, y, z = case
+    rec = pk.build_packed_records(c.grid, fs)
+    vt = pk.collapse_stage_values(c.grid, rec, 100.0)
+    recon = vt.hi.astype(jnp.float32) + vt.lo.astype(jnp.float32)
+    full = vt.full.astype(jnp.float32)
+    scale = jnp.maximum(jnp.abs(full), 1e-3)
+    assert float(jnp.max(jnp.abs(recon - full) / scale)) < 2e-5
+
+
 def test_rk4_packed_sheared_time_ramped():
     """Vertical shear + time ramp: still linear data, so the packed
     schemes (collocation, time-collapse, column splines) remain exact
