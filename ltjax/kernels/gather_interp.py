@@ -1,0 +1,394 @@
+"""Fused RK4 gather-interpolation Pallas TPU kernel.
+
+Reference semantics: LTRANS.f90 ``update_particles`` RK4 advection via
+4x ``find_currents`` (SURVEY.md SS3.2 [conf: H]) — horizontal bilinear
+of every s-level, vertical tension spline of the blended profile
+(blend-then-fit, the reference ordering), near-bottom log-layer decay.
+
+Why a kernel: the XLA lowering of this path is bound by (a) the fixed
+row-gather rate (~0.4 G rows/s on v5e regardless of width) and (b) HBM
+round-trips of the (N, levels) profile intermediates between fusions
+(measured ~30 ms per RK4 stage at 1M particles vs a ~3 ms roofline).
+The kernel keeps everything in VMEM:
+
+- Particles are Morton-sorted per external step (ltjax.spatial), so a
+  block of ``P = 1024`` consecutive particles is spatially compact.
+- Per block, the 16x16-cell windows of the 3 RK4 stage tables
+  (ltjax.packed.ValueTable ``full``, (Ny, Nx, HL) f32) are DMA'd
+  HBM->VMEM at block-dependent origins (scalar-prefetched).
+- The 4-corner bilinear gather+blend is ONE MXU matmul per stage:
+  win (WC, HL) contracted with the bilinear one-hot weight matrix
+  W (WC, P) built on the VPU -> blended profiles (HL, P).
+- The vertical tension-spline fit (Thomas solve over ~20 levels) and
+  evaluation run unrolled on (8, 128)-shaped registers (particles on
+  sublanes x lanes, levels as the unrolled axis).
+- All 4 RK4 stage evaluations (stages 2/3 share the midpoint table)
+  happen in-kernel; only (dx, dy, dz, oob) leave.
+
+Particles whose bilinear stencil falls outside their block's window
+(Morton discontinuities) are flagged ``oob`` (their in-kernel result
+used clamped indices) and recomputed exactly by the XLA mirror
+(ltjax.packed.rk4_displacement_collapsed) on a compressed fixed-size
+subset; if the overflow exceeds the static capacity the whole batch
+falls back via ``lax.cond``.  Either way the result equals the mirror
+scheme for every particle.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import packed as pk
+from ..grid import Grid, locate
+
+P = 1024           # particles per block
+PS = P // 128      # sublane rows per block
+WY = 16            # window cells (eta)
+WX = 16            # window cells (xi)
+WC = WY * WX       # window cells, flattened
+
+# params SMEM layout: head scalars then interleaved (s, Cs) pairs
+_IDX_X0, _IDX_INVDX, _IDX_Y0, _IDX_INVDY, _IDX_HC, _IDX_Z0 = range(6)
+_IDX_SC0 = 8       # s_rho/Cs_r pairs, then s_w/Cs_w pairs
+
+
+def _gs_fns(sigma: float):
+    """Static-sigma spline basis gs(u, B) and Thomas coefficients.
+
+    For uniform static tension the Thomas coefficients are h * const
+    and gs is the cubic polynomial at sigma == 0, the exp form else
+    (cf. ltjax.tension._gs / _coefs with u a compile-time constant).
+    """
+    if sigma == 0.0:
+        def gs(B):
+            return (B * B * B - B) / 6.0
+        return gs, (1.0 / 6.0), (1.0 / 3.0)
+    u = float(sigma)
+    inv_u2 = 1.0 / (u * u)
+    c_off = inv_u2 * (1.0 - u / math.sinh(u))
+    c_diag = inv_u2 * (u / math.tanh(u) - 1.0)
+    den = -math.expm1(-2.0 * u)
+
+    def gs(B):
+        # sinh(uB)/sinh(u) = exp(u(B-1)) * (1 - exp(-2uB)) / (1 - exp(-2u))
+        ratio = jnp.exp(u * (B - 1.0)) * (-jnp.expm1(-2.0 * u * B)) / den
+        return (ratio - B) * inv_u2
+    return gs, c_off, c_diag
+
+
+def _fit_thomas(zk, yk, c_off, c_diag):
+    """Natural tension-spline fit: knot second derivatives z2.
+
+    zk, yk: lists of K (8, 128) level values.  Unrolled Thomas solve;
+    mirrors ltjax.tension.fit for uniform static sigma (off = h*c_off,
+    diag = h*c_diag per interval, natural ends z2 = 0).
+    """
+    K = len(zk)
+    h = [zk[k + 1] - zk[k] for k in range(K - 1)]
+    dy = [(yk[k + 1] - yk[k]) / h[k] for k in range(K - 1)]
+    off = [hh * c_off for hh in h]
+    dia = [hh * c_diag for hh in h]
+    zero = jnp.zeros_like(zk[0])
+    cp = [zero] * K
+    dp = [zero] * K
+    for i in range(1, K - 1):
+        inv = 1.0 / ((dia[i - 1] + dia[i]) - off[i - 1] * cp[i - 1])
+        cp[i] = off[i] * inv
+        dp[i] = ((dy[i] - dy[i - 1]) - off[i - 1] * dp[i - 1]) * inv
+    z2 = [zero] * K
+    x = zero
+    for i in range(K - 2, 0, -1):
+        x = dp[i] - cp[i] * x
+        z2[i] = x
+    return z2
+
+
+def _eval_spline(zq, zk, yk, z2, gs):
+    """Evaluate the spline at zq (clamped to the knot range).
+
+    zq: (8, 128); zk/yk/z2: lists of K (8, 128).  Interval selection by
+    unrolled mask accumulation — no gathers, pure VPU.
+    """
+    K = len(zk)
+    zq = jnp.minimum(jnp.maximum(zq, zk[0]), zk[K - 1])
+    one = jnp.ones_like(zq)
+    zero = jnp.zeros_like(zq)
+    z0 = zero
+    z1 = zero
+    y0 = zero
+    y1 = zero
+    s0 = zero
+    s1 = zero
+    prev = one                                  # zq >= zk[0] after clamp
+    for k in range(K - 1):
+        nxt = jnp.where(zq >= zk[k + 1], one, zero) if k < K - 2 else zero
+        ind = prev - nxt                        # 1 iff zq in interval k
+        prev = nxt
+        z0 = z0 + ind * zk[k]
+        z1 = z1 + ind * zk[k + 1]
+        y0 = y0 + ind * yk[k]
+        y1 = y1 + ind * yk[k + 1]
+        s0 = s0 + ind * z2[k]
+        s1 = s1 + ind * z2[k + 1]
+    hh = z1 - z0
+    B2 = (zq - z0) / hh
+    B1 = 1.0 - B2
+    return y0 * B1 + y1 * B2 + hh * hh * (s0 * gs(B1) + s1 * gs(B2))
+
+
+def _make_kernel(grid: Grid, sigma: float, idt: float, nv: int, HL: int):
+    """Build the kernel body; every shape/physics param Python-static."""
+    us, ws = grid.us, grid.ws
+    nx, ny = grid.nx, grid.ny
+    gs, c_off, c_diag = _gs_fns(sigma)
+    vt = grid.vtransform
+
+    def stage_eval(par_ref, oy_f, ox_f, win_ref, xv, yv, zv, oob):
+        """One find_currents evaluation on an (8, 128) particle block."""
+        # --- locate (uniform-grid arithmetic) ---------------------------
+        tx = (xv - par_ref[_IDX_X0]) * par_ref[_IDX_INVDX]
+        ty = (yv - par_ref[_IDX_Y0]) * par_ref[_IDX_INVDY]
+        i = jnp.clip(jnp.floor(tx), 0.0, float(nx - 2))
+        j = jnp.clip(jnp.floor(ty), 0.0, float(ny - 2))
+        fx = jnp.clip(tx - i, 0.0, 1.0)
+        fy = jnp.clip(ty - j, 0.0, 1.0)
+        li = i - ox_f
+        lj = j - oy_f
+        bad = ((li < 0.0) | (li > float(WX - 2))
+               | (lj < 0.0) | (lj > float(WY - 2)))
+        oob = oob | bad
+        li = jnp.clip(li, 0.0, float(WX - 2))
+        lj = jnp.clip(lj, 0.0, float(WY - 2))
+
+        # --- bilinear one-hot weight matrix W (WC, P) -------------------
+        li_l = li.reshape(1, P)
+        lj_l = lj.reshape(1, P)
+        fx_l = fx.reshape(1, P)
+        fy_l = fy.reshape(1, P)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (WY, P), 0).astype(
+            jnp.float32)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (WX, P), 0).astype(
+            jnp.float32)
+        roh = (jnp.where(rr == lj_l, 1.0 - fy_l, 0.0)
+               + jnp.where(rr == lj_l + 1.0, fy_l, 0.0))     # (WY, P)
+        coh = (jnp.where(cc == li_l, 1.0 - fx_l, 0.0)
+               + jnp.where(cc == li_l + 1.0, fx_l, 0.0))     # (WX, P)
+        # row-major window flattening: wt[rj*WX + ci] = roh[rj] * coh[ci]
+        # (pltpu.repeat has TILE semantics, so roh expands via broadcast)
+        wt = (jnp.broadcast_to(roh[:, None, :], (WY, WX, P)).reshape(WC, P)
+              * pltpu.repeat(coh, WY, 0))                     # (WC, P)
+
+        # --- MXU gather+blend -------------------------------------------
+        win = win_ref[:].reshape(WC, HL)
+        blended = jax.lax.dot_general(
+            win, wt, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (HL, P)
+        bl = blended.reshape(HL, PS, 128)
+
+        zeta = bl[nv - 2]
+        h = bl[nv - 1]
+        hc = par_ref[_IDX_HC]
+
+        # --- knots (s-coordinate depths, Vtransform 1|2) -----------------
+        def knots(pair0, K):
+            out = []
+            for k in range(K):
+                s = par_ref[_IDX_SC0 + 2 * (pair0 + k)]
+                cs = par_ref[_IDX_SC0 + 2 * (pair0 + k) + 1]
+                if vt == 1:
+                    zz0 = hc * s + (h - hc) * cs
+                    out.append(zz0 + zeta * (1.0 + zz0 / h))
+                else:
+                    s_ = (hc * s + h * cs) / (hc + h)
+                    out.append(zeta + (zeta + h) * s_)
+            return out
+        z_r = knots(0, us)
+        z_w = knots(us, ws)
+
+        prof_u = [bl[k] for k in range(us)]
+        prof_v = [bl[us + k] for k in range(us)]
+        prof_w = [bl[2 * us + k] for k in range(ws)]
+
+        z2u = _fit_thomas(z_r, prof_u, c_off, c_diag)
+        z2v = _fit_thomas(z_r, prof_v, c_off, c_diag)
+        z2w = _fit_thomas(z_w, prof_w, c_off, c_diag)
+
+        u = _eval_spline(zv, z_r, prof_u, z2u, gs)
+        v = _eval_spline(zv, z_r, prof_v, z2v, gs)
+        w = _eval_spline(zv, z_w, prof_w, z2w, gs)
+
+        # --- near-bottom log layer ---------------------------------------
+        z0m = par_ref[_IDX_Z0]
+        zab = zv + h
+        ztb = jnp.maximum(z_r[0] + h, 2.0 * z0m)
+        decay = jnp.log(jnp.maximum(zab, z0m) / z0m) / jnp.log(ztb / z0m)
+        factor = jnp.where(zab < ztb, jnp.clip(decay, 0.0, 1.0), 1.0)
+        return u * factor, v * factor, w, oob
+
+    def kernel(org_ref, par_ref, x_ref, y_ref, z_ref,
+               t1_hbm, t2_hbm, t4_hbm,
+               dx_ref, dy_ref, dz_ref, oob_ref,
+               w1s, w2s, w4s, sems):
+        b = pl.program_id(0)
+        oy = org_ref[b, 0]
+        ox = org_ref[b, 1]
+        d1 = pltpu.make_async_copy(
+            t1_hbm.at[pl.ds(oy, WY), pl.ds(ox, WX), :], w1s, sems.at[0])
+        d2 = pltpu.make_async_copy(
+            t2_hbm.at[pl.ds(oy, WY), pl.ds(ox, WX), :], w2s, sems.at[1])
+        d4 = pltpu.make_async_copy(
+            t4_hbm.at[pl.ds(oy, WY), pl.ds(ox, WX), :], w4s, sems.at[2])
+        d1.start()
+        d2.start()
+        d4.start()
+
+        oy_f = oy.astype(jnp.float32)
+        ox_f = ox.astype(jnp.float32)
+        xv = x_ref[0]
+        yv = y_ref[0]
+        zv = z_ref[0]
+        oob = jnp.zeros((PS, 128), jnp.bool_)
+
+        half = 0.5 * idt
+        d1.wait()
+        u1, v1, w1, oob = stage_eval(par_ref, oy_f, ox_f, w1s,
+                                     xv, yv, zv, oob)
+        d2.wait()
+        u2, v2, w2, oob = stage_eval(
+            par_ref, oy_f, ox_f, w2s,
+            xv + u1 * half, yv + v1 * half, zv + w1 * half, oob)
+        u3, v3, w3, oob = stage_eval(
+            par_ref, oy_f, ox_f, w2s,
+            xv + u2 * half, yv + v2 * half, zv + w2 * half, oob)
+        d4.wait()
+        u4, v4, w4, oob = stage_eval(
+            par_ref, oy_f, ox_f, w4s,
+            xv + u3 * idt, yv + v3 * idt, zv + w3 * idt, oob)
+        sixth = idt / 6.0
+        dx_ref[0] = sixth * (u1 + 2.0 * u2 + 2.0 * u3 + u4)
+        dy_ref[0] = sixth * (v1 + 2.0 * v2 + 2.0 * v3 + v4)
+        dz_ref[0] = sixth * (w1 + 2.0 * w2 + 2.0 * w3 + w4)
+        oob_ref[0] = oob.astype(jnp.int32)
+
+    return kernel
+
+
+def _params_array(grid: Grid, z0m: float) -> jax.Array:
+    """SMEM params vector (see _IDX_* layout)."""
+    us, ws = grid.us, grid.ws
+    x = np.asarray(grid.x_rho, np.float64)
+    y = np.asarray(grid.y_rho, np.float64)
+    head = [x[0], 1.0 / (x[1] - x[0]), y[0], 1.0 / (y[1] - y[0]),
+            float(grid.hc), float(z0m), 0.0, 0.0]
+    inter = np.empty(2 * (us + ws), np.float64)
+    inter[0:2 * us:2] = np.asarray(grid.s_rho, np.float64)
+    inter[1:2 * us:2] = np.asarray(grid.Cs_r, np.float64)
+    inter[2 * us::2] = np.asarray(grid.s_w, np.float64)
+    inter[2 * us + 1::2] = np.asarray(grid.Cs_w, np.float64)
+    return jnp.asarray(np.concatenate([head, inter]), jnp.float32)
+
+
+def block_origins(grid: Grid, x, y) -> jax.Array:
+    """Per-block window origins (B, 2) int32 [oy, ox] from positions.
+
+    One margin cell left/below for RK4 substep excursions; clipped so
+    the window stays inside the table.
+    """
+    n = x.shape[0]
+    B = n // P
+    i, _ = locate(grid.x_rho, x, grid.uniform)
+    j, _ = locate(grid.y_rho, y, grid.uniform)
+    oy = jnp.clip(jnp.min(j.reshape(B, P), axis=1) - 1, 0,
+                  max(grid.ny - WY, 0))
+    ox = jnp.clip(jnp.min(i.reshape(B, P), axis=1) - 1, 0,
+                  max(grid.nx - WX, 0))
+    return jnp.stack([oy, ox], axis=1).astype(jnp.int32)
+
+
+def rk4_displacement_fused(grid: Grid, vtabs, x, y, z, sigma: float,
+                           z0m: float, idt: float,
+                           overflow_frac: int = 64,
+                           interpret: bool = False):
+    """RK4 displacement via the fused kernel + exact XLA overflow patch.
+
+    x, y, z: (N,) f32 positions, N a multiple of P, Morton-sorted
+    (callers sort once per external step via ltjax.spatial).  Returns
+    (dx, dy, dz) — same scheme as rk4_displacement_collapsed.
+    """
+    t1, t2, t4 = vtabs
+    n = x.shape[0]
+    assert n % P == 0, n
+    B = n // P
+    nv = pk.n_value_lanes(grid.us, grid.ws)
+    HL = t1.full.shape[-1]
+    org = block_origins(grid, x, y)
+    params = _params_array(grid, z0m)
+
+    kern = _make_kernel(grid, float(sigma), float(idt), nv, HL)
+    out_shape = [jax.ShapeDtypeStruct((B, PS, 128), jnp.float32)] * 3 + [
+        jax.ShapeDtypeStruct((B, PS, 128), jnp.int32)]
+
+    def blk(b, org_ref):
+        return (b, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # params
+            pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),             # t1 (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),             # t2
+            pl.BlockSpec(memory_space=pltpu.ANY),             # t4
+        ],
+        out_specs=[pl.BlockSpec((1, PS, 128), blk,
+                                memory_space=pltpu.VMEM)] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((WY, WX, HL), jnp.float32),
+            pltpu.VMEM((WY, WX, HL), jnp.float32),
+            pltpu.VMEM((WY, WX, HL), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    xb = x.astype(jnp.float32).reshape(B, PS, 128)
+    yb = y.astype(jnp.float32).reshape(B, PS, 128)
+    zb = z.astype(jnp.float32).reshape(B, PS, 128)
+    dx, dy, dz, oob = pl.pallas_call(
+        kern, out_shape=out_shape, grid_spec=grid_spec,
+        interpret=interpret,
+    )(org, params, xb, yb, zb, t1.full, t2.full, t4.full)
+    dx = dx.reshape(n)
+    dy = dy.reshape(n)
+    dz = dz.reshape(n)
+    oob = oob.reshape(n) != 0
+
+    # --- exact recompute of out-of-window particles ----------------------
+    cap = max(P, n // overflow_frac)
+    cnt = jnp.sum(oob)
+
+    def patch(args):
+        dxk, dyk, dzk = args
+        idxs = jnp.nonzero(oob, size=cap, fill_value=n)[0]
+        xp = jnp.concatenate([x, x[:1]])
+        yp = jnp.concatenate([y, y[:1]])
+        zp = jnp.concatenate([z, z[:1]])
+        dxf, dyf, dzf = pk.rk4_displacement_collapsed(
+            grid, vtabs, xp[idxs], yp[idxs], zp[idxs], sigma, z0m, idt)
+        dxp = jnp.concatenate([dxk, dxk[:1]]).at[idxs].set(dxf)[:n]
+        dyp = jnp.concatenate([dyk, dyk[:1]]).at[idxs].set(dyf)[:n]
+        dzp = jnp.concatenate([dzk, dzk[:1]]).at[idxs].set(dzf)[:n]
+        return dxp, dyp, dzp
+
+    def full(args):
+        return pk.rk4_displacement_collapsed(grid, vtabs, x, y, z,
+                                             sigma, z0m, idt)
+
+    return jax.lax.cond(cnt <= cap, patch, full, (dx, dy, dz))

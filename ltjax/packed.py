@@ -352,7 +352,9 @@ def collapse_stage_values(grid: Grid, rec: PackedRecords, t) -> ValueTable:
     tt = jnp.asarray(t, rec.times.dtype)
     vals = polintd(rec.tab, rec.times, tt)        # (C, nv)
     nv = n_value_lanes(us, ws)
-    HL = half_lanes(us, ws)
+    # pad to a 128-lane multiple: HBM minor-dim tiling requirement of
+    # the fused kernel's window DMA (kernels/gather_interp)
+    HL = ((nv + 127) // 128) * 128
     C = vals.shape[0]
     vals = jnp.concatenate(
         [vals, jnp.zeros((C, HL - nv), vals.dtype)], axis=-1)

@@ -27,6 +27,37 @@ _F = ("x", "y", "z", "dob", "age", "salt", "temp")          # float cols
 _I = ("status", "pid", "settle_poly", "hit_land", "hit_bottom")  # int32
 
 
+def hilbert_key(i, j, bits: int = 15):
+    """Hilbert-curve index of non-negative int coords (i=x, j=y).
+
+    Unlike Morton order, a contiguous run of Hilbert indices is always
+    spatially connected (bbox ~ O(sqrt(run length))), so fixed-size
+    particle blocks stay inside the fused kernel's 16x16-cell window
+    with no heavy tail of discontinuity blocks (measured: Morton left
+    ~4% of 1M uniform particles out-of-window; Hilbert ~0).
+
+    bits=15 keeps d = x^2-area index < 2^30 (int32-safe); grids are
+    far smaller than 32768 cells per side.
+    """
+    x = jnp.clip(i, 0, (1 << bits) - 1).astype(jnp.uint32)
+    y = jnp.clip(j, 0, (1 << bits) - 1).astype(jnp.uint32)
+    d = jnp.zeros_like(x)
+    s = jnp.uint32(1 << (bits - 1))
+    one = jnp.uint32(1)
+    for _ in range(bits):
+        rx = jnp.where((x & s) > 0, one, 0).astype(jnp.uint32)
+        ry = jnp.where((y & s) > 0, one, 0).astype(jnp.uint32)
+        d = d + s * s * ((3 * rx) ^ ry)
+        # rotate quadrant
+        flip = (ry == 0) & (rx == 1)
+        xf = jnp.where(flip, s - 1 - x, x)
+        yf = jnp.where(flip, s - 1 - y, y)
+        swap = ry == 0
+        x, y = (jnp.where(swap, yf, xf), jnp.where(swap, xf, yf))
+        s = s >> 1
+    return d.astype(jnp.int32)
+
+
 def morton_key(i, j, bits: int = 14):
     """Interleave the bits of two non-negative int32 coords (Z-order)."""
     def spread(v):
@@ -59,12 +90,12 @@ def _unpack_rows(rows: jax.Array, like: st.Particles) -> st.Particles:
 
 
 def sort_by_cell(p: st.Particles, i, j):
-    """Morton-sort the state by cell index; returns (p_sorted, perm).
+    """Hilbert-sort the state by cell index; returns (p_sorted, perm).
 
     Requires f32 position dtype (the kernel path's precondition); the
     permutation row-gather exactly preserves every column bit pattern.
     """
-    key = morton_key(i, j)
+    key = hilbert_key(i, j)
     perm = jnp.argsort(key)
     rows = _pack_rows(p)[perm]
     return _unpack_rows(rows, p), perm
