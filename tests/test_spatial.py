@@ -39,8 +39,8 @@ def test_sort_roundtrip_bitwise():
     ps, perm = spatial.sort_by_cell(p, i, j)
     # permutation is a bijection
     assert len(np.unique(np.asarray(perm))) == p.n
-    # sorted keys are nondecreasing
-    key = np.asarray(spatial.morton_key(i, j))
+    # sorted keys are nondecreasing (sort_by_cell orders by Hilbert key)
+    key = np.asarray(spatial.hilbert_key(i, j))
     assert np.all(np.diff(key[np.asarray(perm)]) >= 0)
     pr = spatial.unsort(ps, perm)
     for name in p._fields:
