@@ -1,9 +1,16 @@
-"""Scratch: validate + time rk4_displacement_fused vs the XLA mirror."""
+"""Dev check: validate + time rk4_displacement_fused vs the XLA mirror.
+
+Run from anywhere: ``python benchmarks/kernel_check.py``.
+"""
+import os
+import sys
 import time
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import build
 from ltjax import packed as pk
 from ltjax import spatial

@@ -143,6 +143,12 @@ class Config:
                                   #   (ltjax.packed): time-collapse-first
                                   #   + per-column splines; False =>
                                   #   reference-ordered native path
+    kernel_interp: bool = True    # fused Pallas RK4 kernel for advection
+                                  #   (ltjax.kernels.gather_interp); auto-
+                                  #   engages on TPU with f32 positions on
+                                  #   a uniform grid, else falls back to
+                                  #   the packed path
+    kernel_block: int = 2048      # particles per fused-kernel block
     reflect_iters: int = 4        # fixed boundary-reflection iteration count
     mesh_particles: int = 1       # mesh axis size: particle data-parallel
     mesh_tiles: int = 1           # mesh axis size: domain tiles (eta strips)

@@ -47,8 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import packed as pk
 from ..grid import Grid, locate
 
-P = 1024           # particles per block
-PS = P // 128      # sublane rows per block
+P = 2048           # particles per block (default; callers may override)
 WY = 16            # window cells (eta)
 WX = 16            # window cells (xi)
 WC = WY * WX       # window cells, flattened
@@ -142,8 +141,18 @@ def _eval_spline(zq, zk, yk, z2, gs):
     return y0 * B1 + y1 * B2 + hh * hh * (s0 * gs(B1) + s1 * gs(B2))
 
 
-def _make_kernel(grid: Grid, sigma: float, idt: float, nv: int, HL: int):
-    """Build the kernel body; every shape/physics param Python-static."""
+def _make_kernel(grid: Grid, sigma: float, idt: float, nv: int, HL: int,
+                 p_block: int = P,
+                 precision=jax.lax.Precision.HIGHEST):
+    """Build the kernel body; every shape/physics param Python-static.
+
+    ``precision`` controls the MXU one-hot blend matmul: f32 operands
+    need the multi-pass decomposition (HIGHEST) — the default single
+    bf16 pass loses ~4e-3 relative on the blended profiles (measured),
+    which is far outside the mirror's f32 fidelity.
+    """
+    P = p_block
+    PS = P // 128
     us, ws = grid.us, grid.ws
     nx, ny = grid.nx, grid.ny
     gs, c_off, c_diag = _gs_fns(sigma)
@@ -188,7 +197,8 @@ def _make_kernel(grid: Grid, sigma: float, idt: float, nv: int, HL: int):
         win = win_ref[:].reshape(WC, HL)
         blended = jax.lax.dot_general(
             win, wt, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)               # (HL, P)
+            preferred_element_type=jnp.float32,
+            precision=precision)                              # (HL, P)
         bl = blended.reshape(HL, PS, 128)
 
         zeta = bl[nv - 2]
@@ -294,43 +304,53 @@ def _params_array(grid: Grid, z0m: float) -> jax.Array:
     return jnp.asarray(np.concatenate([head, inter]), jnp.float32)
 
 
-def block_origins(grid: Grid, x, y) -> jax.Array:
+def block_origins(grid: Grid, x, y, p_block: int = P) -> jax.Array:
     """Per-block window origins (B, 2) int32 [oy, ox] from positions.
 
     One margin cell left/below for RK4 substep excursions; clipped so
     the window stays inside the table.
     """
     n = x.shape[0]
-    B = n // P
+    B = n // p_block
     i, _ = locate(grid.x_rho, x, grid.uniform)
     j, _ = locate(grid.y_rho, y, grid.uniform)
-    oy = jnp.clip(jnp.min(j.reshape(B, P), axis=1) - 1, 0,
-                  max(grid.ny - WY, 0))
-    ox = jnp.clip(jnp.min(i.reshape(B, P), axis=1) - 1, 0,
-                  max(grid.nx - WX, 0))
+    # center the window on the block's middle particle: blocks are
+    # Hilbert-contiguous, so the median particle sits mid-cluster and a
+    # lone discontinuity straggler cannot drag the window off the rest
+    # (min-based origins did; the straggler itself just takes the exact
+    # oob-patch path)
+    jm = j.reshape(B, p_block)[:, p_block // 2]
+    im = i.reshape(B, p_block)[:, p_block // 2]
+    oy = jnp.clip(jm - WY // 2, 0, max(grid.ny - WY, 0))
+    ox = jnp.clip(im - WX // 2, 0, max(grid.nx - WX, 0))
     return jnp.stack([oy, ox], axis=1).astype(jnp.int32)
 
 
 def rk4_displacement_fused(grid: Grid, vtabs, x, y, z, sigma: float,
                            z0m: float, idt: float,
-                           overflow_frac: int = 64,
+                           overflow_frac: int = 256,
+                           p_block: int = P,
+                           precision=jax.lax.Precision.HIGHEST,
                            interpret: bool = False):
     """RK4 displacement via the fused kernel + exact XLA overflow patch.
 
-    x, y, z: (N,) f32 positions, N a multiple of P, Morton-sorted
+    x, y, z: (N,) f32 positions, N a multiple of p_block, Hilbert-sorted
     (callers sort once per external step via ltjax.spatial).  Returns
     (dx, dy, dz) — same scheme as rk4_displacement_collapsed.
     """
     t1, t2, t4 = vtabs
     n = x.shape[0]
-    assert n % P == 0, n
-    B = n // P
+    P_ = p_block
+    PS = P_ // 128
+    assert n % P_ == 0, (n, P_)
+    B = n // P_
     nv = pk.n_value_lanes(grid.us, grid.ws)
     HL = t1.full.shape[-1]
-    org = block_origins(grid, x, y)
+    org = block_origins(grid, x, y, P_)
     params = _params_array(grid, z0m)
 
-    kern = _make_kernel(grid, float(sigma), float(idt), nv, HL)
+    kern = _make_kernel(grid, float(sigma), float(idt), nv, HL, P_,
+                        precision)
     out_shape = [jax.ShapeDtypeStruct((B, PS, 128), jnp.float32)] * 3 + [
         jax.ShapeDtypeStruct((B, PS, 128), jnp.int32)]
 
@@ -371,7 +391,7 @@ def rk4_displacement_fused(grid: Grid, vtabs, x, y, z, sigma: float,
     oob = oob.reshape(n) != 0
 
     # --- exact recompute of out-of-window particles ----------------------
-    cap = max(P, n // overflow_frac)
+    cap = min(n, max(256, n // overflow_frac))
     cnt = jnp.sum(oob)
 
     def patch(args):

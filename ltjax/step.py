@@ -21,10 +21,12 @@ import jax
 import jax.numpy as jnp
 
 from . import packed as pk
+from . import spatial as sp
 from . import state as st
 from .config import Config
 from .fields import FieldSet
-from .grid import Grid
+from .grid import Grid, locate
+from .kernels import gather_interp as gi
 from .physics import behavior as bh
 from .physics import boundary as bd
 from .physics import settlement as stl
@@ -57,15 +59,34 @@ def make_params(cfg: Config):
     return adv, turb, beh
 
 
+def _rk4_fused_padded(grid: Grid, vtabs, x, y, z, sigma: float, z0m: float,
+                      idt: float, p_block: int, interpret: bool = False):
+    """Pad the batch to a p_block multiple (replicating the last
+    particle), run the fused kernel, slice back."""
+    n = x.shape[0]
+    pad = (-n) % p_block
+    if pad:
+        x = jnp.concatenate([x, jnp.broadcast_to(x[-1:], (pad,))])
+        y = jnp.concatenate([y, jnp.broadcast_to(y[-1:], (pad,))])
+        z = jnp.concatenate([z, jnp.broadcast_to(z[-1:], (pad,))])
+    dx, dy, dz = gi.rk4_displacement_fused(
+        grid, vtabs, x, y, z, sigma, z0m, idt, p_block=p_block,
+        interpret=interpret)
+    return dx[:n], dy[:n], dz[:n]
+
+
 def internal_step(ctx: StepContext, cfg: Config, base_key,
                   p: st.Particles, fields: FieldSet, t, step_idx,
-                  prec: "pk.PackedRecords | None" = None
-                  ) -> st.Particles:
+                  prec: "pk.PackedRecords | None" = None,
+                  kernel: bool = False) -> st.Particles:
     """One internal timestep for the whole particle batch.
 
     ``prec`` (packed per-record tables) enables the gather-optimized
     interpolation path (ltjax.packed) for advection and the zeta/h
     lookups; turbulence/behavior/scalar sampling keep the native path.
+    ``kernel`` additionally routes RK4 advection through the fused
+    Pallas kernel (requires Hilbert-sorted f32 positions on a uniform
+    grid — make_external_step arranges the sort).
     """
     adv, turb, beh = make_params(cfg)
     grid, bounds = ctx.grid, ctx.bounds
@@ -73,7 +94,9 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
     idt = jnp.asarray(float(cfg.idt), dtype)
     tt = jnp.asarray(t, dtype)
     fast = prec is not None
-    if fast:
+    if fast and kernel:
+        tabs = pk.stage_value_tables(grid, prec, t, float(cfg.idt))
+    elif fast:
         tabs = pk.stage_tables(grid, prec, t, float(cfg.idt),
                                cfg.tension_sigma)
 
@@ -83,7 +106,11 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
     active = status == st.ACTIVE
 
     # --- advection ------------------------------------------------------
-    if fast:
+    if fast and kernel:
+        dxa, dya, dza = _rk4_fused_padded(
+            grid, tabs, p.x, p.y, p.z, cfg.tension_sigma, cfg.z0,
+            float(cfg.idt), cfg.kernel_block)
+    elif fast:
         dxa, dya, dza = pk.rk4_displacement_packed(
             grid, tabs, p.x, p.y, p.z, cfg.tension_sigma, cfg.z0,
             float(cfg.idt))
@@ -111,7 +138,11 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
         else:
             zeta_p, h_p = zeta_h_at(grid, fields, p.x, p.y, tt)
         if cfg.Behavior == 7:
-            if fast:
+            if fast and kernel:
+                cur = pk.find_currents_collapsed(grid, tabs[0], p.x, p.y,
+                                                 p.z, cfg.tension_sigma,
+                                                 cfg.z0)[:2]
+            elif fast:
                 cur = pk.find_currents_packed(grid, tabs[0], p.x, p.y,
                                               p.z, cfg.tension_sigma,
                                               cfg.z0)[:2]
@@ -202,20 +233,34 @@ def make_external_step(ctx: StepContext, cfg: Config, base_key):
 
     # adaptive tension (<0) varies per interval/particle — native only
     use_fast = cfg.fast_interp and cfg.tension_sigma >= 0
+    # the fused Pallas kernel additionally needs a TPU backend, f32
+    # positions, and a uniform grid (arithmetic cell location)
+    use_kernel = (use_fast and cfg.kernel_interp and ctx.grid.uniform
+                  and cfg.dtype_pos == "float32"
+                  and jax.default_backend() == "tpu")
 
     @jax.jit
     def ext_step(p: st.Particles, fields: FieldSet, t0, ext_idx):
         prec = (pk.build_packed_records(ctx.grid, fields)
                 if use_fast else None)
 
+        if use_kernel:
+            # Hilbert sort once per external step: the kernel's VMEM
+            # window scheme needs spatially compact particle blocks
+            ci, _ = locate(ctx.grid.x_rho, p.x, ctx.grid.uniform)
+            cj, _ = locate(ctx.grid.y_rho, p.y, ctx.grid.uniform)
+            p, perm = sp.sort_by_cell(p, ci, cj)
+
         def body(carry, i):
             pp = carry
             t = t0 + i * float(cfg.idt)
             step_idx = ext_idx * n_int + i
             return internal_step(ctx, cfg, base_key, pp, fields, t,
-                                 step_idx, prec), None
+                                 step_idx, prec, kernel=use_kernel), None
 
         p2, _ = jax.lax.scan(body, p, jnp.arange(n_int))
+        if use_kernel:
+            p2 = sp.unsort(p2, perm)
         return p2
 
     return ext_step
