@@ -21,6 +21,11 @@ import jax
 import jax.numpy as jnp
 import jax.random as jr
 
+# the fused kernels compile slowly (minutes: ~30 MB of unrolled Mosaic
+# IR); cache compilations across invocations
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from ltjax import synth
 from ltjax import state as st
 from ltjax.config import Config

@@ -1,0 +1,478 @@
+"""Whole-external-step fused Pallas TPU kernel.
+
+Reference semantics: ``run_External_Timestep`` -> ``run_Internal_Timestep``
+-> ``update_particles`` in LTRANS.f90 (SURVEY.md SS3.2 [conf: H]) for the
+advection path: release at DOB, RK4 advection via 4x find_currents,
+horizontal boundary reflection (``intersect_reflect``), open-boundary
+exit, vertical surface/bottom reflection, status bookkeeping.
+
+Why one kernel per EXTERNAL step (vs. the per-internal-step kernel in
+ltjax.kernels.gather_interp): at 1M particles the per-step launch, the
+grid-sized stage-table builds, the XLA row-gathers for boundary
+reflection and the zeta/h lookups, and the HBM round-trips of positions
+between steps together cost several ms per internal step — more than
+the RK4 math itself.  This kernel keeps a particle block resident in
+VMEM across ALL internal steps of one external step:
+
+- per block, per internal step, the 16x16-cell windows of the THREE
+  RAW time records (b, c, f; ltjax.packed.build_record_tables) are
+  DMA'd at origins that track the block's drifting mean position;
+- the quadratic time interpolation (polintd) is applied to the WINDOW
+  (3 scalar-coefficient FMAs per lane) per RK4 stage — collapsing time
+  first commutes with the bilinear blend exactly (ltjax.packed notes);
+- the 4-corner bilinear gather+blend is one MXU matmul per stage
+  against the one-hot weight matrix (see gather_interp.make_stage_eval);
+- boundary reflection gathers each particle's per-cell segment bucket
+  row by a {0,1} one-hot MXU matmul against the boundary-row window,
+  then runs the same specular-reflection math as
+  ltjax.physics.boundary.reflect, slot-unrolled on the VPU; interior
+  blocks (no segments in the window) skip it via lax.cond;
+- only the final state (x, y, z, status, collision counters) and a
+  per-particle ``oob`` flag leave the kernel.  Particles that ever
+  left their block's window are recomputed exactly by the XLA mirror
+  path (scan of internal_step in "collapsed" mode) — see ltjax.step.
+
+The scheme equals the collapsed XLA path (blend-then-fit vertical
+tension spline on time-collapsed tables) to f32 round-off.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..grid import Grid
+from ..physics.boundary import Boundaries, LAND, OPEN
+from .gather_interp import (WC, WX, WY, _IDX_HC, _IDX_INVDX, _IDX_INVDY,
+                            _IDX_SC0, _IDX_X0, _IDX_Y0, _IDX_Z0,
+                            make_bilinear_onehot, make_cell_onehot,
+                            make_stage_eval)
+
+# extra head-scalar slots (gather_interp reserves 0..5; 6..15 ours)
+_IDX_BX0 = 6       # boundary cell-edge x origin
+_IDX_INVBDX = 7
+_IDX_BY0 = 8
+_IDX_INVBDY = 9
+_IDX_T0 = 10       # external-step start time [s]
+_IDX_IDT = 11      # internal step [s]
+_REFLECT_EPS = 1e-6
+
+
+def _head_len(us: int, ws: int) -> int:
+    return _IDX_SC0 + 2 * (us + ws)
+
+
+def params_array_ext(grid: Grid, bounds: Boundaries, z0m: float,
+                     t0, times, idt: float, n_int: int) -> jax.Array:
+    """SMEM params: head scalars + s/Cs pairs + per-(step, stage)
+    polintd coefficients (n_int * 9 floats; stage times are
+    t0 + i*idt + {0, idt/2, idt})."""
+    us, ws = grid.us, grid.ws
+    x = np.asarray(grid.x_rho, np.float64)
+    y = np.asarray(grid.y_rho, np.float64)
+    xe = np.asarray(bounds.x_edges, np.float64)
+    ye = np.asarray(bounds.y_edges, np.float64)
+    head = np.zeros(_IDX_SC0, np.float64)
+    head[_IDX_X0] = x[0]
+    head[_IDX_INVDX] = 1.0 / (x[1] - x[0])
+    head[_IDX_Y0] = y[0]
+    head[_IDX_INVDY] = 1.0 / (y[1] - y[0])
+    head[_IDX_HC] = float(grid.hc)
+    head[_IDX_Z0] = float(z0m)
+    head[_IDX_BX0] = xe[0]
+    head[_IDX_INVBDX] = 1.0 / (xe[1] - xe[0])
+    head[_IDX_BY0] = ye[0]
+    head[_IDX_INVBDY] = 1.0 / (ye[1] - ye[0])
+    inter = np.empty(2 * (us + ws), np.float64)
+    inter[0:2 * us:2] = np.asarray(grid.s_rho, np.float64)
+    inter[1:2 * us:2] = np.asarray(grid.Cs_r, np.float64)
+    inter[2 * us::2] = np.asarray(grid.s_w, np.float64)
+    inter[2 * us + 1::2] = np.asarray(grid.Cs_w, np.float64)
+    static = jnp.asarray(np.concatenate([head, inter]), jnp.float32)
+    static = static.at[_IDX_T0].set(jnp.asarray(t0, jnp.float32))
+    static = static.at[_IDX_IDT].set(jnp.float32(idt))
+
+    # polintd Lagrange coefficients at every stage time (f64 -> f32)
+    tdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    tt = jnp.asarray(times, tdt)
+    ii = jnp.arange(n_int, dtype=tdt)
+    offs = jnp.asarray([0.0, 0.5 * idt, idt], tdt)
+    ts = (jnp.asarray(t0, tdt) + ii[:, None] * jnp.asarray(idt, tdt)
+          + offs[None, :])                                   # (n_int, 3)
+    t0r, t1r, t2r = tt[0], tt[1], tt[2]
+    l0 = (ts - t1r) * (ts - t2r) / ((t0r - t1r) * (t0r - t2r))
+    l1 = (ts - t0r) * (ts - t2r) / ((t1r - t0r) * (t1r - t2r))
+    l2 = (ts - t0r) * (ts - t1r) / ((t2r - t0r) * (t2r - t1r))
+    coef = jnp.stack([l0, l1, l2], axis=-1).reshape(-1).astype(jnp.float32)
+    return jnp.concatenate([static, coef])
+
+
+def boundary_rows_table(bounds: Boundaries, ny: int, nx: int) -> np.ndarray:
+    """(Ny, Nx, BL) f32 boundary cell-row table, lanes padded to a
+    128-multiple (window-DMA minor-dim tiling requirement)."""
+    rows = np.asarray(bounds.cell_rows, np.float32)
+    BL = ((rows.shape[1] + 127) // 128) * 128
+    out = np.zeros((ny * nx, BL), np.float32)
+    out[:, :rows.shape[1]] = rows
+    return out.reshape(ny, nx, BL)
+
+
+# status codes (must mirror ltjax.state)
+_NOT_RELEASED = 0
+_ACTIVE = 1
+_OUT_OF_DOMAIN = 4
+_ERROR = 5
+
+
+def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
+                     HL: int, BL: int, n_int: int, n_iter: int,
+                     p_block: int, precision, open_exits: bool,
+                     s_max: int):
+    P = p_block
+    PS = P // 128
+    nx, ny = grid.nx, grid.ny
+    stage_eval = make_stage_eval(grid, sigma, nv, HL, P, precision)
+    coef0 = _head_len(grid.us, grid.ws)
+
+    def reflect_block(par_ref, wbd, oy_f, ox_f, x0, y0, x1, y1, act,
+                      hitl, oob):
+        """In-kernel mirror of ltjax.physics.boundary.reflect."""
+        exited = jnp.zeros((PS, 128), jnp.bool_)
+
+        for _ in range(n_iter):
+            tbx = (x0 - par_ref[_IDX_BX0]) * par_ref[_IDX_INVBDX]
+            tby = (y0 - par_ref[_IDX_BY0]) * par_ref[_IDX_INVBDY]
+            ib = jnp.clip(jnp.floor(tbx), 0.0, float(nx - 1))
+            jb = jnp.clip(jnp.floor(tby), 0.0, float(ny - 1))
+            lib = ib - ox_f
+            ljb = jb - oy_f
+            bad = ((lib < 0.0) | (lib > float(WX - 1))
+                   | (ljb < 0.0) | (ljb > float(WY - 1)))
+            oob = oob | (bad & act)
+            lib = jnp.clip(lib, 0.0, float(WX - 1))
+            ljb = jnp.clip(ljb, 0.0, float(WY - 1))
+            oh = make_cell_onehot(lib, ljb, P)               # (WC, P)
+            rows = jax.lax.dot_general(
+                wbd[:].reshape(WC, BL), oh,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision)                          # (BL, P)
+            rp = rows.reshape(BL, PS, 128)
+
+            dx = x1 - x0
+            dy = y1 - y0
+            inf = jnp.full((PS, 128), jnp.inf, jnp.float32)
+            zero = jnp.zeros((PS, 128), jnp.float32)
+            tpm, exf, eyf, kindf = inf, zero, zero, zero
+            for s in range(s_max):
+                o = 8 + 8 * s
+                ax, ay = rp[o], rp[o + 1]
+                ex = rp[o + 2] - ax
+                ey = rp[o + 3] - ay
+                kind = rp[o + 4]
+                valid = rp[o + 5] > 0.5
+                apx = ax - x0
+                apy = ay - y0
+                denom = dx * ey - dy * ex
+                dsafe = jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+                tp = (apx * ey - apy * ex) / dsafe
+                ts = (apx * dy - apy * dx) / dsafe
+                cross = (valid & (jnp.abs(denom) > 1e-30)
+                         & (tp > 0.0) & (tp <= 1.0)
+                         & (ts >= 0.0) & (ts <= 1.0))
+                better = cross & (tp < tpm)
+                tpm = jnp.where(better, tp, tpm)
+                exf = jnp.where(better, ex, exf)
+                eyf = jnp.where(better, ey, eyf)
+                kindf = jnp.where(better, kind, kindf)
+
+            anyc = tpm < inf
+            acth = act & anyc & ~exited
+            tpf = jnp.where(acth, tpm, 0.0)
+            ix = x0 + tpf * dx
+            iy = y0 + tpf * dy
+            rx = x1 - ix
+            ry = y1 - iy
+            elen2 = jnp.maximum(exf * exf + eyf * eyf, 1e-30)
+            proj = (rx * exf + ry * eyf) / elen2
+            rrx = 2.0 * proj * exf - rx
+            rry = 2.0 * proj * eyf - ry
+            is_open = kindf > (LAND + 0.5)
+            if open_exits:
+                newly_exited = acth & is_open
+                do_reflect = acth & ~is_open
+            else:
+                newly_exited = jnp.zeros_like(acth)
+                do_reflect = acth
+            nrm = jnp.sqrt(jnp.maximum(rrx * rrx + rry * rry, 1e-30))
+            x0 = jnp.where(do_reflect, ix + _REFLECT_EPS * rrx / nrm, x0)
+            y0 = jnp.where(do_reflect, iy + _REFLECT_EPS * rry / nrm, y0)
+            x1 = jnp.where(do_reflect, ix + rrx, x1)
+            y1 = jnp.where(do_reflect, iy + rry, y1)
+            x1 = jnp.where(newly_exited, ix, x1)
+            y1 = jnp.where(newly_exited, iy, y1)
+            hitl = hitl + jnp.where(do_reflect & ~is_open, 1, 0)
+            exited = exited | newly_exited
+
+        # stuck check: water flag (lane 0) of the endpoint's cell row
+        tbx = (x1 - par_ref[_IDX_BX0]) * par_ref[_IDX_INVBDX]
+        tby = (y1 - par_ref[_IDX_BY0]) * par_ref[_IDX_INVBDY]
+        lib = jnp.clip(jnp.clip(jnp.floor(tbx), 0.0, float(nx - 1)) - ox_f,
+                       0.0, float(WX - 1))
+        ljb = jnp.clip(jnp.clip(jnp.floor(tby), 0.0, float(ny - 1)) - oy_f,
+                       0.0, float(WY - 1))
+        oh = make_cell_onehot(lib, ljb, P)
+        rows = jax.lax.dot_general(
+            wbd[:].reshape(WC, BL), oh,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision)
+        water = rows.reshape(BL, PS, 128)[0] > 0.5
+        stuck = act & ~exited & ~water
+        return x1, y1, exited, stuck, hitl, oob
+
+    def kernel(org_ref, par_ref, x_ref, y_ref, z_ref, dob_ref, st_ref,
+               tab_hbm, brows_hbm,
+               xo_ref, yo_ref, zo_ref, sto_ref, hitl_ref, hitb_ref,
+               oob_ref,
+               wb, wc_, wf, wbd, sems):
+        b = pl.program_id(0)
+        idtc = jnp.float32(idt)
+        half = jnp.float32(0.5 * idt)
+        sixth = jnp.float32(idt / 6.0)
+
+        def dma_windows(oy, ox):
+            cps = [pltpu.make_async_copy(
+                tab_hbm.at[k, pl.ds(oy, WY), pl.ds(ox, WX), :],
+                [wb, wc_, wf][k], sems.at[k]) for k in range(3)]
+            cps.append(pltpu.make_async_copy(
+                brows_hbm.at[pl.ds(oy, WY), pl.ds(ox, WX), :],
+                wbd, sems.at[3]))
+            for c in cps:
+                c.start()
+            for c in cps:
+                c.wait()
+
+        xv = x_ref[0]
+        yv = y_ref[0]
+        zv = z_ref[0]
+        dob = dob_ref[0]
+        st = st_ref[0]
+        hitl = jnp.zeros((PS, 128), jnp.int32)
+        hitb = jnp.zeros((PS, 128), jnp.int32)
+        oob = jnp.zeros((PS, 128), jnp.bool_)
+
+        def origin(xv, yv, oob):
+            """Window origin tracking the mean of in-window particles."""
+            w = jnp.where(oob, 0.0, 1.0)
+            cnt = jnp.maximum(jnp.sum(w), 1.0)
+            tx = (xv - par_ref[_IDX_X0]) * par_ref[_IDX_INVDX]
+            ty = (yv - par_ref[_IDX_Y0]) * par_ref[_IDX_INVDY]
+            im = jnp.sum(jnp.clip(tx, 0.0, float(nx - 1)) * w) / cnt
+            jm = jnp.sum(jnp.clip(ty, 0.0, float(ny - 1)) * w) / cnt
+            ox = jnp.clip(jnp.floor(im).astype(jnp.int32) - WX // 2, 0,
+                          max(nx - WX, 0))
+            oy = jnp.clip(jnp.floor(jm).astype(jnp.int32) - WY // 2, 0,
+                          max(ny - WY, 0))
+            return oy, ox
+
+        def body(i, carry):
+            # oob rides as int32: Mosaic cannot legalize i1-vector loop
+            # carries (scf.for legalization failure, observed on v5e)
+            xv, yv, zv, st, hitl, hitb, oobi = carry
+            oob = oobi != 0
+            oy, ox = origin(xv, yv, oob)
+            dma_windows(oy, ox)
+            oy_f = oy.astype(jnp.float32)
+            ox_f = ox.astype(jnp.float32)
+
+            # release at DOB
+            i_f = i.astype(jnp.float32)
+            t_i = par_ref[_IDX_T0] + i_f * par_ref[_IDX_IDT]
+            release = (st == _NOT_RELEASED) & (t_i >= dob)
+            st = jnp.where(release, _ACTIVE, st)
+            act = st == _ACTIVE
+
+            # time-collapsed stage windows from the 3 record windows
+            def win_at(stage):
+                c = coef0 + 9 * i + 3 * stage
+                return (par_ref[c] * wb[:].reshape(WC, HL)
+                        + par_ref[c + 1] * wc_[:].reshape(WC, HL)
+                        + par_ref[c + 2] * wf[:].reshape(WC, HL))
+
+            w1 = win_at(0)
+            u1, v1, ww1, oob1 = stage_eval(par_ref, oy_f, ox_f, w1,
+                                           xv, yv, zv, oob)
+            w2 = win_at(1)
+            u2, v2, ww2, oob1 = stage_eval(
+                par_ref, oy_f, ox_f, w2,
+                xv + u1 * half, yv + v1 * half, zv + ww1 * half, oob1)
+            u3, v3, ww3, oob1 = stage_eval(
+                par_ref, oy_f, ox_f, w2,
+                xv + u2 * half, yv + v2 * half, zv + ww2 * half, oob1)
+            w4 = win_at(2)
+            u4, v4, ww4, oob1 = stage_eval(
+                par_ref, oy_f, ox_f, w4,
+                xv + u3 * idtc, yv + v3 * idtc, zv + ww3 * idtc, oob1)
+            # only active particles' window misses matter
+            oob = oob | (oob1 & act)
+
+            x1 = xv + sixth * (u1 + 2.0 * u2 + 2.0 * u3 + u4)
+            y1 = yv + sixth * (v1 + 2.0 * v2 + 2.0 * v3 + v4)
+            z1 = zv + sixth * (ww1 + 2.0 * ww2 + 2.0 * ww3 + ww4)
+
+            # horizontal boundary reflection (skipped when the window
+            # holds no segments — interior blocks)
+            any_seg = jnp.max(wbd[:, :, 13]) > 0.5
+
+            def with_reflect(args):
+                x0_, y0_, x1_, y1_, act_, hitl_, oob_ = args
+                xr_, yr_, ex_, stk_, hl_, ob_ = reflect_block(
+                    par_ref, wbd, oy_f, ox_f, x0_, y0_, x1_, y1_,
+                    act_ != 0, hitl_, oob_ != 0)
+                return (xr_, yr_, ex_.astype(jnp.int32),
+                        stk_.astype(jnp.int32), hl_, ob_.astype(jnp.int32))
+
+            def no_reflect(args):
+                x0_, y0_, x1_, y1_, act_, hitl_, oob_ = args
+                false = jnp.zeros((PS, 128), jnp.int32)
+                return x1_, y1_, false, false, hitl_, oob_
+
+            xri, yri, exitedi, stucki, hitl, oobi2 = jax.lax.cond(
+                any_seg, with_reflect, no_reflect,
+                (xv, yv, x1, y1, act.astype(jnp.int32), hitl,
+                 oob.astype(jnp.int32)))
+            xr, yr = xri, yri
+            exited = exitedi != 0
+            stuck = stucki != 0
+            oob = oobi2 != 0
+
+            # vertical reflection about zeta/h at the new column (t+idt)
+            tx = (xr - par_ref[_IDX_X0]) * par_ref[_IDX_INVDX]
+            ty = (yr - par_ref[_IDX_Y0]) * par_ref[_IDX_INVDY]
+            ii2 = jnp.clip(jnp.floor(tx), 0.0, float(nx - 2))
+            jj2 = jnp.clip(jnp.floor(ty), 0.0, float(ny - 2))
+            fx = jnp.clip(tx - ii2, 0.0, 1.0)
+            fy = jnp.clip(ty - jj2, 0.0, 1.0)
+            li = jnp.clip(ii2 - ox_f, 0.0, float(WX - 2))
+            lj = jnp.clip(jj2 - oy_f, 0.0, float(WY - 2))
+            wt = make_bilinear_onehot(li, lj, fx, fy, P)
+            zh = jax.lax.dot_general(
+                w4[:, nv - 2:nv], wt,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision)                          # (2, P)
+            zhr = zh.reshape(2, PS, 128)
+            zeta_p = zhr[0]
+            h_p = zhr[1]
+            above = z1 > zeta_p
+            z1r = jnp.where(above, 2.0 * zeta_p - z1, z1)
+            below = z1r < -h_p
+            z2r = jnp.where(below, -2.0 * h_p - z1r, z1r)
+            zr = jnp.clip(z2r, -h_p, zeta_p)
+            hitb = hitb + jnp.where(act & below, 1, 0)
+
+            # apply updates under masks (matches ltjax.step.internal_step)
+            xv = jnp.where(act, xr, xv)
+            yv = jnp.where(act, yr, yv)
+            zv = jnp.where(act, zr, zv)
+            st = jnp.where(act & exited, _OUT_OF_DOMAIN, st)
+            st = jnp.where(act & stuck, _ERROR, st)
+            return xv, yv, zv, st, hitl, hitb, oob.astype(jnp.int32)
+
+        xv, yv, zv, st, hitl, hitb, oobi = jax.lax.fori_loop(
+            0, n_int, body,
+            (xv, yv, zv, st, hitl, hitb, oob.astype(jnp.int32)))
+        oob = oobi != 0
+        xo_ref[0] = xv
+        yo_ref[0] = yv
+        zo_ref[0] = zv
+        sto_ref[0] = st
+        hitl_ref[0] = hitl
+        hitb_ref[0] = hitb
+        oob_ref[0] = oob.astype(jnp.int32)
+
+    return kernel
+
+
+def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
+                   sigma: float, n_int: int, idt: float,
+                   n_iter: int = 4, p_block: int = 2048,
+                   precision=jax.lax.Precision.HIGHEST,
+                   s_max: "int | None" = None,
+                   open_exits: bool = True,
+                   interpret: bool = False):
+    """Run one full external step in-kernel.
+
+    rtab: (3, Ny, Nx, HL) f32 record value tables
+    (ltjax.packed.build_record_tables); brows: (Ny, Nx, BL) f32 boundary
+    rows (boundary_rows_table); params: params_array_ext.  x/y/z/dob f32
+    and status int32 are Hilbert-sorted, length a multiple of p_block.
+    Returns (x, y, z, status, hit_land, hit_bottom, oob).
+    """
+    from . import gather_interp as gi
+    from .. import packed as pk
+
+    n = x.shape[0]
+    P_ = p_block
+    PS = P_ // 128
+    assert n % P_ == 0, (n, P_)
+    B = n // P_
+    nv = pk.n_value_lanes(grid.us, grid.ws)
+    HL = rtab.shape[-1]
+    BL = brows.shape[-1]
+    # lanes beyond the real row width are zero-valid padding; unrolling
+    # over them is correct (valid>0.5 fails) but wasted ops — callers
+    # pass the true slot count via s_max
+    s_real = (BL - 8) // 8 if s_max is None else int(s_max)
+
+    org = gi.block_origins(grid, x, y, P_)
+    kern = _make_ext_kernel(grid, float(sigma), float(idt), nv, HL, BL,
+                            n_int, n_iter, P_, precision,
+                            open_exits=open_exits, s_max=s_real)
+
+    fshape = jax.ShapeDtypeStruct((B, PS, 128), jnp.float32)
+    ishape = jax.ShapeDtypeStruct((B, PS, 128), jnp.int32)
+
+    def blk(b, org_ref):
+        return (b, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # params
+            pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),             # rtab (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),             # brows
+        ],
+        out_specs=[pl.BlockSpec((1, PS, 128), blk,
+                                memory_space=pltpu.VMEM)] * 7,
+        scratch_shapes=[
+            pltpu.VMEM((WY, WX, HL), jnp.float32),
+            pltpu.VMEM((WY, WX, HL), jnp.float32),
+            pltpu.VMEM((WY, WX, HL), jnp.float32),
+            pltpu.VMEM((WY, WX, BL), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+
+    def rs(a, dt):
+        return a.astype(dt).reshape(B, PS, 128)
+
+    xo, yo, zo, sto, hitl, hitb, oob = pl.pallas_call(
+        kern,
+        out_shape=[fshape, fshape, fshape, ishape, ishape, ishape, ishape],
+        grid_spec=grid_spec, interpret=interpret,
+    )(org, params, rs(x, jnp.float32), rs(y, jnp.float32),
+      rs(z, jnp.float32), rs(dob, jnp.float32), rs(status, jnp.int32),
+      rtab, brows)
+    return (xo.reshape(n), yo.reshape(n), zo.reshape(n), sto.reshape(n),
+            hitl.reshape(n), hitb.reshape(n), oob.reshape(n) != 0)

@@ -52,9 +52,11 @@ WY = 16            # window cells (eta)
 WX = 16            # window cells (xi)
 WC = WY * WX       # window cells, flattened
 
-# params SMEM layout: head scalars then interleaved (s, Cs) pairs
+# params SMEM layout: 16 head scalars then interleaved (s, Cs) pairs.
+# Slots 6..15 are reserved for the external-step kernel's extra head
+# scalars (ltjax.kernels.ext_step) so both kernels share one layout.
 _IDX_X0, _IDX_INVDX, _IDX_Y0, _IDX_INVDY, _IDX_HC, _IDX_Z0 = range(6)
-_IDX_SC0 = 8       # s_rho/Cs_r pairs, then s_w/Cs_w pairs
+_IDX_SC0 = 16      # s_rho/Cs_r pairs, then s_w/Cs_w pairs
 
 
 def _gs_fns(sigma: float):
@@ -81,31 +83,46 @@ def _gs_fns(sigma: float):
     return gs, c_off, c_diag
 
 
-def _fit_thomas(zk, yk, c_off, c_diag):
-    """Natural tension-spline fit: knot second derivatives z2.
+def _fit_thomas_multi(zk, yks, c_off, c_diag):
+    """Natural tension-spline fit: knot second derivatives z2, for
+    several value profiles sharing the SAME knots.
 
-    zk, yk: lists of K (8, 128) level values.  Unrolled Thomas solve;
-    mirrors ltjax.tension.fit for uniform static sigma (off = h*c_off,
-    diag = h*c_diag per interval, natural ends z2 = 0).
+    zk: list of K (PS, 128) knot depths; yks: list of profiles, each a
+    list of K (PS, 128) values.  Unrolled Thomas solve; mirrors
+    ltjax.tension.fit for uniform static sigma (off = h*c_off,
+    diag = h*c_diag per interval, natural ends z2 = 0).  The matrix
+    factorization (cp, inv) is computed once and shared across the
+    right-hand sides — u and v live on the same rho knots.
     """
     K = len(zk)
     h = [zk[k + 1] - zk[k] for k in range(K - 1)]
-    dy = [(yk[k + 1] - yk[k]) / h[k] for k in range(K - 1)]
+    inv_h = [1.0 / hh for hh in h]
     off = [hh * c_off for hh in h]
     dia = [hh * c_diag for hh in h]
     zero = jnp.zeros_like(zk[0])
     cp = [zero] * K
-    dp = [zero] * K
+    invs = [zero] * K
     for i in range(1, K - 1):
-        inv = 1.0 / ((dia[i - 1] + dia[i]) - off[i - 1] * cp[i - 1])
-        cp[i] = off[i] * inv
-        dp[i] = ((dy[i] - dy[i - 1]) - off[i - 1] * dp[i - 1]) * inv
-    z2 = [zero] * K
-    x = zero
-    for i in range(K - 2, 0, -1):
-        x = dp[i] - cp[i] * x
-        z2[i] = x
-    return z2
+        invs[i] = 1.0 / ((dia[i - 1] + dia[i]) - off[i - 1] * cp[i - 1])
+        cp[i] = off[i] * invs[i]
+    outs = []
+    for yk in yks:
+        dy = [(yk[k + 1] - yk[k]) * inv_h[k] for k in range(K - 1)]
+        dp = [zero] * K
+        for i in range(1, K - 1):
+            dp[i] = ((dy[i] - dy[i - 1]) - off[i - 1] * dp[i - 1]) * invs[i]
+        z2 = [zero] * K
+        x = zero
+        for i in range(K - 2, 0, -1):
+            x = dp[i] - cp[i] * x
+            z2[i] = x
+        outs.append(z2)
+    return outs
+
+
+def _fit_thomas(zk, yk, c_off, c_diag):
+    """Single-profile wrapper around _fit_thomas_multi."""
+    return _fit_thomas_multi(zk, [yk], c_off, c_diag)[0]
 
 
 def _eval_spline(zq, zk, yk, z2, gs):
@@ -141,15 +158,47 @@ def _eval_spline(zq, zk, yk, z2, gs):
     return y0 * B1 + y1 * B2 + hh * hh * (s0 * gs(B1) + s1 * gs(B2))
 
 
-def _make_kernel(grid: Grid, sigma: float, idt: float, nv: int, HL: int,
-                 p_block: int = P,
-                 precision=jax.lax.Precision.HIGHEST):
-    """Build the kernel body; every shape/physics param Python-static.
+def make_bilinear_onehot(li, lj, fx, fy, P: int):
+    """Bilinear one-hot weight matrix W (WC, P) from window-local cell
+    indices + fractions (all (PS, 128) f32)."""
+    li_l = li.reshape(1, P)
+    lj_l = lj.reshape(1, P)
+    fx_l = fx.reshape(1, P)
+    fy_l = fy.reshape(1, P)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (WY, P), 0).astype(jnp.float32)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (WX, P), 0).astype(jnp.float32)
+    roh = (jnp.where(rr == lj_l, 1.0 - fy_l, 0.0)
+           + jnp.where(rr == lj_l + 1.0, fy_l, 0.0))      # (WY, P)
+    coh = (jnp.where(cc == li_l, 1.0 - fx_l, 0.0)
+           + jnp.where(cc == li_l + 1.0, fx_l, 0.0))      # (WX, P)
+    # row-major window flattening: wt[rj*WX + ci] = roh[rj] * coh[ci]
+    # (pltpu.repeat has TILE semantics, so roh expands via broadcast)
+    return (jnp.broadcast_to(roh[:, None, :], (WY, WX, P)).reshape(WC, P)
+            * pltpu.repeat(coh, WY, 0))                    # (WC, P)
 
-    ``precision`` controls the MXU one-hot blend matmul: f32 operands
-    need the multi-pass decomposition (HIGHEST) — the default single
-    bf16 pass loses ~4e-3 relative on the blended profiles (measured),
-    which is far outside the mirror's f32 fidelity.
+
+def make_cell_onehot(li, lj, P: int):
+    """{0,1} cell-selection matrix (WC, P) from window-local indices."""
+    li_l = li.reshape(1, P)
+    lj_l = lj.reshape(1, P)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (WY, P), 0).astype(jnp.float32)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (WX, P), 0).astype(jnp.float32)
+    roh = jnp.where(rr == lj_l, 1.0, 0.0)
+    coh = jnp.where(cc == li_l, 1.0, 0.0)
+    return (jnp.broadcast_to(roh[:, None, :], (WY, WX, P)).reshape(WC, P)
+            * pltpu.repeat(coh, WY, 0))
+
+
+def make_stage_eval(grid: Grid, sigma: float, nv: int, HL: int,
+                    p_block: int, precision):
+    """Build the shared find_currents evaluator for fused kernels.
+
+    Returns ``stage_eval(par_ref, oy_f, ox_f, win, xv, yv, zv, oob)``
+    where ``win`` is a (WC, HL) f32 *value* (callers read/collapse their
+    VMEM window refs).  ``precision`` controls the MXU one-hot blend
+    matmul: f32 operands need the multi-pass decomposition (HIGHEST) —
+    the default single bf16 pass loses ~4e-3 relative on the blended
+    profiles (measured on v5e), far outside the mirror's f32 fidelity.
     """
     P = p_block
     PS = P // 128
@@ -158,8 +207,8 @@ def _make_kernel(grid: Grid, sigma: float, idt: float, nv: int, HL: int,
     gs, c_off, c_diag = _gs_fns(sigma)
     vt = grid.vtransform
 
-    def stage_eval(par_ref, oy_f, ox_f, win_ref, xv, yv, zv, oob):
-        """One find_currents evaluation on an (8, 128) particle block."""
+    def stage_eval(par_ref, oy_f, ox_f, win, xv, yv, zv, oob):
+        """One find_currents evaluation on a (PS, 128) particle block."""
         # --- locate (uniform-grid arithmetic) ---------------------------
         tx = (xv - par_ref[_IDX_X0]) * par_ref[_IDX_INVDX]
         ty = (yv - par_ref[_IDX_Y0]) * par_ref[_IDX_INVDY]
@@ -175,26 +224,9 @@ def _make_kernel(grid: Grid, sigma: float, idt: float, nv: int, HL: int,
         li = jnp.clip(li, 0.0, float(WX - 2))
         lj = jnp.clip(lj, 0.0, float(WY - 2))
 
-        # --- bilinear one-hot weight matrix W (WC, P) -------------------
-        li_l = li.reshape(1, P)
-        lj_l = lj.reshape(1, P)
-        fx_l = fx.reshape(1, P)
-        fy_l = fy.reshape(1, P)
-        rr = jax.lax.broadcasted_iota(jnp.int32, (WY, P), 0).astype(
-            jnp.float32)
-        cc = jax.lax.broadcasted_iota(jnp.int32, (WX, P), 0).astype(
-            jnp.float32)
-        roh = (jnp.where(rr == lj_l, 1.0 - fy_l, 0.0)
-               + jnp.where(rr == lj_l + 1.0, fy_l, 0.0))     # (WY, P)
-        coh = (jnp.where(cc == li_l, 1.0 - fx_l, 0.0)
-               + jnp.where(cc == li_l + 1.0, fx_l, 0.0))     # (WX, P)
-        # row-major window flattening: wt[rj*WX + ci] = roh[rj] * coh[ci]
-        # (pltpu.repeat has TILE semantics, so roh expands via broadcast)
-        wt = (jnp.broadcast_to(roh[:, None, :], (WY, WX, P)).reshape(WC, P)
-              * pltpu.repeat(coh, WY, 0))                     # (WC, P)
+        wt = make_bilinear_onehot(li, lj, fx, fy, P)
 
         # --- MXU gather+blend -------------------------------------------
-        win = win_ref[:].reshape(WC, HL)
         blended = jax.lax.dot_general(
             win, wt, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -225,8 +257,7 @@ def _make_kernel(grid: Grid, sigma: float, idt: float, nv: int, HL: int,
         prof_v = [bl[us + k] for k in range(us)]
         prof_w = [bl[2 * us + k] for k in range(ws)]
 
-        z2u = _fit_thomas(z_r, prof_u, c_off, c_diag)
-        z2v = _fit_thomas(z_r, prof_v, c_off, c_diag)
+        z2u, z2v = _fit_thomas_multi(z_r, [prof_u, prof_v], c_off, c_diag)
         z2w = _fit_thomas(z_w, prof_w, c_off, c_diag)
 
         u = _eval_spline(zv, z_r, prof_u, z2u, gs)
@@ -240,6 +271,17 @@ def _make_kernel(grid: Grid, sigma: float, idt: float, nv: int, HL: int,
         decay = jnp.log(jnp.maximum(zab, z0m) / z0m) / jnp.log(ztb / z0m)
         factor = jnp.where(zab < ztb, jnp.clip(decay, 0.0, 1.0), 1.0)
         return u * factor, v * factor, w, oob
+
+    return stage_eval
+
+
+def _make_kernel(grid: Grid, sigma: float, idt: float, nv: int, HL: int,
+                 p_block: int = P,
+                 precision=jax.lax.Precision.HIGHEST):
+    """Build the single-internal-step RK4 kernel body."""
+    P_ = p_block
+    PS = P_ // 128
+    stage_eval = make_stage_eval(grid, sigma, nv, HL, P_, precision)
 
     def kernel(org_ref, par_ref, x_ref, y_ref, z_ref,
                t1_hbm, t2_hbm, t4_hbm,
@@ -267,18 +309,20 @@ def _make_kernel(grid: Grid, sigma: float, idt: float, nv: int, HL: int,
 
         half = 0.5 * idt
         d1.wait()
-        u1, v1, w1, oob = stage_eval(par_ref, oy_f, ox_f, w1s,
+        u1, v1, w1, oob = stage_eval(par_ref, oy_f, ox_f,
+                                     w1s[:].reshape(WC, HL),
                                      xv, yv, zv, oob)
         d2.wait()
+        win2 = w2s[:].reshape(WC, HL)
         u2, v2, w2, oob = stage_eval(
-            par_ref, oy_f, ox_f, w2s,
+            par_ref, oy_f, ox_f, win2,
             xv + u1 * half, yv + v1 * half, zv + w1 * half, oob)
         u3, v3, w3, oob = stage_eval(
-            par_ref, oy_f, ox_f, w2s,
+            par_ref, oy_f, ox_f, win2,
             xv + u2 * half, yv + v2 * half, zv + w2 * half, oob)
         d4.wait()
         u4, v4, w4, oob = stage_eval(
-            par_ref, oy_f, ox_f, w4s,
+            par_ref, oy_f, ox_f, w4s[:].reshape(WC, HL),
             xv + u3 * idt, yv + v3 * idt, zv + w3 * idt, oob)
         sixth = idt / 6.0
         dx_ref[0] = sixth * (u1 + 2.0 * u2 + 2.0 * u3 + u4)
@@ -295,7 +339,7 @@ def _params_array(grid: Grid, z0m: float) -> jax.Array:
     x = np.asarray(grid.x_rho, np.float64)
     y = np.asarray(grid.y_rho, np.float64)
     head = [x[0], 1.0 / (x[1] - x[0]), y[0], 1.0 / (y[1] - y[0]),
-            float(grid.hc), float(z0m), 0.0, 0.0]
+            float(grid.hc), float(z0m)] + [0.0] * (_IDX_SC0 - 6)
     inter = np.empty(2 * (us + ws), np.float64)
     inter[0:2 * us:2] = np.asarray(grid.s_rho, np.float64)
     inter[1:2 * us:2] = np.asarray(grid.Cs_r, np.float64)
@@ -328,7 +372,7 @@ def block_origins(grid: Grid, x, y, p_block: int = P) -> jax.Array:
 
 def rk4_displacement_fused(grid: Grid, vtabs, x, y, z, sigma: float,
                            z0m: float, idt: float,
-                           overflow_frac: int = 256,
+                           overflow_frac: int = 64,
                            p_block: int = P,
                            precision=jax.lax.Precision.HIGHEST,
                            interpret: bool = False):
@@ -365,9 +409,9 @@ def rk4_displacement_fused(grid: Grid, vtabs, x, y, z, sigma: float,
             pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),             # t1 (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),             # t2
-            pl.BlockSpec(memory_space=pltpu.ANY),             # t4
+            pl.BlockSpec(memory_space=pl.ANY),             # t1 (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),             # t2
+            pl.BlockSpec(memory_space=pl.ANY),             # t4
         ],
         out_specs=[pl.BlockSpec((1, PS, 128), blk,
                                 memory_space=pltpu.VMEM)] * 4,

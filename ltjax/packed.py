@@ -454,6 +454,21 @@ def rk4_displacement_collapsed(grid: Grid, vtabs, x, y, z, sigma: float,
             sixth * (w1 + 2 * w2 + 2 * w3 + w4))
 
 
+def build_record_tables(grid: Grid, rec: PackedRecords) -> jax.Array:
+    """(3, Ny, Nx, HL) f32 raw record value tables for the external-step
+    kernel (ltjax.kernels.ext_step) — no time collapse (the kernel
+    collapses its VMEM windows per stage), lanes padded to a
+    128-multiple (window-DMA minor-dim tiling requirement)."""
+    us, ws = grid.us, grid.ws
+    nv = n_value_lanes(us, ws)
+    HL = ((nv + 127) // 128) * 128
+    tab = rec.tab.astype(jnp.float32)                 # (3, C, nv)
+    three, C, L = tab.shape
+    pad = jnp.zeros((three, C, HL - L), jnp.float32)
+    return jnp.concatenate([tab, pad], axis=-1).reshape(
+        three, grid.ny, grid.nx, HL)
+
+
 def stage_value_tables(grid: Grid, rec: PackedRecords, t, idt: float):
     """The 3 RK4 stage values tables for the kernel path."""
     tdt = rec.times.dtype

@@ -109,6 +109,11 @@ def run(cfg: Config, resume: bool = False,
     if cfg.dtype_pos == "float64" and not jax.config.jax_enable_x64:
         # without this, f64 requests silently truncate to f32
         jax.config.update("jax_enable_x64", True)
+    if not jax.config.jax_compilation_cache_dir:
+        # fused kernels compile slowly; cache across runs
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     timing = Timing()
     t0 = time.perf_counter()
 

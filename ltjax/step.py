@@ -78,15 +78,19 @@ def _rk4_fused_padded(grid: Grid, vtabs, x, y, z, sigma: float, z0m: float,
 def internal_step(ctx: StepContext, cfg: Config, base_key,
                   p: st.Particles, fields: FieldSet, t, step_idx,
                   prec: "pk.PackedRecords | None" = None,
-                  kernel: bool = False) -> st.Particles:
+                  mode: str = "packed") -> st.Particles:
     """One internal timestep for the whole particle batch.
 
     ``prec`` (packed per-record tables) enables the gather-optimized
-    interpolation path (ltjax.packed) for advection and the zeta/h
+    interpolation paths (ltjax.packed) for advection and the zeta/h
     lookups; turbulence/behavior/scalar sampling keep the native path.
-    ``kernel`` additionally routes RK4 advection through the fused
-    Pallas kernel (requires Hilbert-sorted f32 positions on a uniform
-    grid — make_external_step arranges the sort).
+    ``mode`` selects among them (native when ``prec`` is None):
+      * "packed"    — pair-row tables, column splines (fit-then-blend)
+      * "collapsed" — values tables, blend-then-fit (the fused kernels'
+                      scheme, pure XLA — their oracle and oob patch)
+      * "kernel"    — per-step fused Pallas RK4 kernel (requires
+                      Hilbert-sorted f32 positions on a uniform grid —
+                      make_external_step arranges the sort)
     """
     adv, turb, beh = make_params(cfg)
     grid, bounds = ctx.grid, ctx.bounds
@@ -94,7 +98,8 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
     idt = jnp.asarray(float(cfg.idt), dtype)
     tt = jnp.asarray(t, dtype)
     fast = prec is not None
-    if fast and kernel:
+    blendfit = mode in ("collapsed", "kernel")
+    if fast and blendfit:
         tabs = pk.stage_value_tables(grid, prec, t, float(cfg.idt))
     elif fast:
         tabs = pk.stage_tables(grid, prec, t, float(cfg.idt),
@@ -106,10 +111,14 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
     active = status == st.ACTIVE
 
     # --- advection ------------------------------------------------------
-    if fast and kernel:
+    if fast and mode == "kernel":
         dxa, dya, dza = _rk4_fused_padded(
             grid, tabs, p.x, p.y, p.z, cfg.tension_sigma, cfg.z0,
             float(cfg.idt), cfg.kernel_block)
+    elif fast and mode == "collapsed":
+        dxa, dya, dza = pk.rk4_displacement_collapsed(
+            grid, tabs, p.x, p.y, p.z, cfg.tension_sigma, cfg.z0,
+            float(cfg.idt))
     elif fast:
         dxa, dya, dza = pk.rk4_displacement_packed(
             grid, tabs, p.x, p.y, p.z, cfg.tension_sigma, cfg.z0,
@@ -138,7 +147,7 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
         else:
             zeta_p, h_p = zeta_h_at(grid, fields, p.x, p.y, tt)
         if cfg.Behavior == 7:
-            if fast and kernel:
+            if fast and blendfit:
                 cur = pk.find_currents_collapsed(grid, tabs[0], p.x, p.y,
                                                  p.z, cfg.tension_sigma,
                                                  cfg.z0)[:2]
@@ -230,14 +239,27 @@ def make_external_step(ctx: StepContext, cfg: Config, base_key):
     once per external step (dense, grid-sized) and the scan body runs
     the gather-optimized path."""
     n_int = cfg.internal_steps
+    idt = float(cfg.idt)
 
     # adaptive tension (<0) varies per interval/particle — native only
     use_fast = cfg.fast_interp and cfg.tension_sigma >= 0
-    # the fused Pallas kernel additionally needs a TPU backend, f32
+    # the fused Pallas kernels additionally need a TPU backend, f32
     # positions, and a uniform grid (arithmetic cell location)
     use_kernel = (use_fast and cfg.kernel_interp and ctx.grid.uniform
                   and cfg.dtype_pos == "float32"
                   and jax.default_backend() == "tpu")
+    # the whole-external-step megakernel covers the advection(+boundary)
+    # path; runs with turbulence/behavior/settlement/sampling drop to
+    # the per-step kernel (advection fused, the rest XLA)
+    use_mega = (use_kernel and not cfg.HTurbOn and not cfg.VTurbOn
+                and cfg.Behavior == 0 and not cfg.mortality
+                and not cfg.settlementon and not cfg.SaltTempOn)
+
+    if use_mega:
+        from .kernels import ext_step as es
+        brows = jnp.asarray(es.boundary_rows_table(
+            ctx.bounds, ctx.grid.ny, ctx.grid.nx))
+        s_max = (int(ctx.bounds.cell_rows.shape[1]) - 8) // 8
 
     @jax.jit
     def ext_step(p: st.Particles, fields: FieldSet, t0, ext_idx):
@@ -245,25 +267,112 @@ def make_external_step(ctx: StepContext, cfg: Config, base_key):
                 if use_fast else None)
 
         if use_kernel:
-            # Hilbert sort once per external step: the kernel's VMEM
+            # Hilbert sort once per external step: the kernels' VMEM
             # window scheme needs spatially compact particle blocks
             ci, _ = locate(ctx.grid.x_rho, p.x, ctx.grid.uniform)
             cj, _ = locate(ctx.grid.y_rho, p.y, ctx.grid.uniform)
             p, perm = sp.sort_by_cell(p, ci, cj)
 
-        def body(carry, i):
-            pp = carry
-            t = t0 + i * float(cfg.idt)
-            step_idx = ext_idx * n_int + i
-            return internal_step(ctx, cfg, base_key, pp, fields, t,
-                                 step_idx, prec, kernel=use_kernel), None
+        if use_mega:
+            p2 = _mega_external_step(ctx, cfg, base_key, p, fields, prec,
+                                     brows, s_max, t0, ext_idx)
+        else:
+            mode = "kernel" if use_kernel else "packed"
 
-        p2, _ = jax.lax.scan(body, p, jnp.arange(n_int))
+            def body(carry, i):
+                pp = carry
+                t = t0 + i * idt
+                step_idx = ext_idx * n_int + i
+                return internal_step(ctx, cfg, base_key, pp, fields, t,
+                                     step_idx, prec, mode=mode), None
+
+            p2, _ = jax.lax.scan(body, p, jnp.arange(n_int))
         if use_kernel:
             p2 = sp.unsort(p2, perm)
         return p2
 
     return ext_step
+
+
+def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
+                        p: st.Particles, fields: FieldSet, prec, brows,
+                        s_max: int, t0, ext_idx) -> st.Particles:
+    """One external step through the whole-external-step Pallas kernel
+    (ltjax.kernels.ext_step) + exact XLA recompute of out-of-window
+    particles via the collapsed mirror path."""
+    from .kernels import ext_step as es
+
+    grid = ctx.grid
+    n_int = cfg.internal_steps
+    idt = float(cfg.idt)
+    n = p.n
+    pb = cfg.kernel_block
+    pad = (-n) % pb
+
+    rtab = pk.build_record_tables(grid, prec)
+    params = es.params_array_ext(grid, ctx.bounds, cfg.z0, t0,
+                                 fields.times, idt, n_int)
+
+    def padded(a, fill=None):
+        if pad == 0:
+            return a
+        tailv = a[-1:] if fill is None else jnp.full(
+            (1,), fill, a.dtype)
+        return jnp.concatenate([a, jnp.broadcast_to(tailv, (pad,))])
+
+    # pad slots are NOT_RELEASED with dob=+inf: never activate, never move
+    xo, yo, zo, sto, hitl, hitb, oob = es.ext_step_fused(
+        grid, rtab, brows, params,
+        padded(p.x), padded(p.y), padded(p.z),
+        padded(p.dob, jnp.inf),
+        padded(p.status, st.NOT_RELEASED),
+        cfg.tension_sigma, n_int, idt,
+        n_iter=cfg.reflect_iters, p_block=pb, s_max=s_max,
+        open_exits=cfg.OpenOceanBoundary)
+    xo, yo, zo = xo[:n], yo[:n], zo[:n]
+    sto, hitl, hitb, oob = sto[:n], hitl[:n], hitb[:n], oob[:n]
+
+    tt_end = jnp.asarray(t0 + n_int * idt, p.x.dtype)
+    age = jnp.where(sto >= st.ACTIVE, tt_end - p.dob, p.age)
+    hit_land = p.hit_land + hitl if cfg.TrackCollisions else p.hit_land
+    hit_bottom = p.hit_bottom + hitb if cfg.TrackCollisions else p.hit_bottom
+    out = p._replace(x=xo, y=yo, z=zo, age=age, status=sto,
+                     hit_land=hit_land, hit_bottom=hit_bottom)
+
+    # --- exact recompute of out-of-window particles ----------------------
+    cap = min(n, max(256, n // 64))
+    cnt = jnp.sum(oob)
+
+    def run_subset(pp: st.Particles) -> st.Particles:
+        def body(carry, i):
+            t = t0 + i * idt
+            return internal_step(ctx, cfg, base_key, carry, fields, t,
+                                 ext_idx * n_int + i, prec,
+                                 mode="collapsed"), None
+        p2, _ = jax.lax.scan(body, pp, jnp.arange(n_int))
+        return p2
+
+    def patch(out: st.Particles) -> st.Particles:
+        idxs = jnp.nonzero(oob, size=cap, fill_value=n)[0]
+        sub0 = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, a[-1:]])[idxs], p)
+        sub = run_subset(sub0)
+
+        def scat(dst, src):
+            return jnp.concatenate([dst, dst[-1:]]).at[idxs].set(src)[:n]
+
+        return out._replace(
+            x=scat(out.x, sub.x), y=scat(out.y, sub.y),
+            z=scat(out.z, sub.z), age=scat(out.age, sub.age),
+            status=scat(out.status, sub.status),
+            hit_land=scat(out.hit_land, sub.hit_land),
+            hit_bottom=scat(out.hit_bottom, sub.hit_bottom))
+
+    def full(out: st.Particles) -> st.Particles:
+        return run_subset(p)
+
+    return jax.lax.cond(cnt <= cap, patch, full, out)
 
 
 def summary_counts(p: st.Particles):

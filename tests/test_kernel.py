@@ -56,6 +56,76 @@ def test_fused_interpret_matches_mirror(case):
     np.testing.assert_allclose(dz1, dz0, rtol=2e-4, atol=2e-4)
 
 
+def test_ext_step_fused_interpret_matches_collapsed_scan():
+    """Whole-external-step megakernel (interpret) vs the collapsed-mode
+    XLA scan of internal_step: positions + status must agree for every
+    in-window particle (oob particles are the step-level patch's job)."""
+    import jax.random as jr
+    from ltjax import state as st
+    from ltjax import spatial
+    from ltjax.config import Config
+    from ltjax.kernels import ext_step as es
+    from ltjax.physics import boundary as bd
+    from ltjax.step import StepContext, internal_step
+
+    dtype = jnp.float32
+    c = synth.make_solid_body_case(nx=41, ny=41, us=6, lx=100e3, ly=100e3,
+                                   h0=50.0, omega=1e-4, dtype=dtype)
+    fs = synth.fieldset_for(c, t_center=900.0, dt=1800.0, dtype=dtype)
+    grid = c.grid
+    bounds = bd.build_boundaries(np.asarray(grid.mask_rho),
+                                 np.asarray(grid.x_rho),
+                                 np.asarray(grid.y_rho))
+    ctx = StepContext(grid=grid, bounds=bounds, polys=None, holes=None)
+    cfg = Config(numpar=256, dt=1800, idt=450, us=6, ws=7,
+                 OpenOceanBoundary=True, dtype_pos="float32",
+                 reflect_iters=2)
+    n_int = cfg.internal_steps
+
+    rng = np.random.default_rng(5)
+    n = 256
+    # cluster the batch so a single 16x16 window covers everyone,
+    # including a few particles near the open rim (exit path)
+    x = jnp.asarray(rng.uniform(38e3, 52e3, n), dtype)
+    y = jnp.asarray(rng.uniform(38e3, 52e3, n), dtype)
+    z = jnp.asarray(rng.uniform(-40.0, -5.0, n), dtype)
+    p = st.init_particles(np.asarray(x), np.asarray(y), np.asarray(z),
+                          dtype=dtype)
+    # stagger releases to exercise the in-kernel DOB gate
+    dob = jnp.asarray(rng.choice([0.0, 900.0], n), dtype)
+    p = p._replace(dob=dob)
+    i, _ = locate(grid.x_rho, p.x, grid.uniform)
+    j, _ = locate(grid.y_rho, p.y, grid.uniform)
+    p, _ = spatial.sort_by_cell(p, i, j)
+
+    prec = pk.build_packed_records(grid, fs)
+    rtab = pk.build_record_tables(grid, prec)
+    brows = jnp.asarray(es.boundary_rows_table(bounds, grid.ny, grid.nx))
+    s_max = (int(bounds.cell_rows.shape[1]) - 8) // 8
+    params = es.params_array_ext(grid, bounds, cfg.z0, 0.0, fs.times,
+                                 float(cfg.idt), n_int)
+    xo, yo, zo, sto, hitl, hitb, oob = es.ext_step_fused(
+        grid, rtab, brows, params, p.x, p.y, p.z, p.dob, p.status,
+        cfg.tension_sigma, n_int, float(cfg.idt),
+        n_iter=cfg.reflect_iters, p_block=256, s_max=s_max,
+        open_exits=True, interpret=True)
+
+    pp = p
+    for ii in range(n_int):
+        pp = internal_step(ctx, cfg, jr.key(0), pp, fs, ii * float(cfg.idt),
+                           ii, prec, mode="collapsed")
+
+    ok = ~np.asarray(oob)
+    assert ok.sum() > 0.9 * n
+    np.testing.assert_allclose(np.asarray(xo)[ok], np.asarray(pp.x)[ok],
+                               rtol=0, atol=0.5)
+    np.testing.assert_allclose(np.asarray(yo)[ok], np.asarray(pp.y)[ok],
+                               rtol=0, atol=0.5)
+    np.testing.assert_allclose(np.asarray(zo)[ok], np.asarray(pp.z)[ok],
+                               rtol=0, atol=1e-3)
+    assert np.array_equal(np.asarray(sto)[ok], np.asarray(pp.status)[ok])
+
+
 def test_block_origins_centered(case):
     grid, vtabs, x, y, z = case
     org = gi.block_origins(grid, x, y, p_block=256)
