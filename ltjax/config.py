@@ -149,6 +149,13 @@ class Config:
                                   #   a uniform grid, else falls back to
                                   #   the packed path
     kernel_block: int = 2048      # particles per fused-kernel block
+    kernel_precision: str = "hilo3"  # MXU one-hot blend precision:
+                                  #   "highest" = f32-exact (6 bf16
+                                  #   passes), "hilo3" = manual hi/lo
+                                  #   split, 3 passes, ~1.5e-5 rel (on
+                                  #   par with f32 roundoff accumulation
+                                  #   -- the default), "default" = one
+                                  #   bf16 pass (~4e-3 rel; fastest)
     reflect_iters: int = 4        # fixed boundary-reflection iteration count
     mesh_particles: int = 1       # mesh axis size: particle data-parallel
     mesh_tiles: int = 1           # mesh axis size: domain tiles (eta strips)

@@ -136,6 +136,13 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
     nx, ny = grid.nx, grid.ny
     stage_eval = make_stage_eval(grid, sigma, nv, HL, P, precision)
     coef0 = _head_len(grid.us, grid.ws)
+    from .gather_interp import blend_dot_fn
+    zh_dot = blend_dot_fn(precision)
+    # boundary row-selects stay f32-exact: segment coords are O(1e5) m,
+    # where even a 16-bit mantissa leaves ~1 m geometry error; these
+    # matmuls only run on rim blocks (lax.cond), so the 6-pass cost is
+    # negligible overall
+    row_precision = jax.lax.Precision.HIGHEST
 
     def reflect_block(par_ref, wbd, oy_f, ox_f, x0, y0, x1, y1, act,
                       hitl, oob):
@@ -159,7 +166,7 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                 wbd[:].reshape(WC, BL), oh,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=precision)                          # (BL, P)
+                precision=row_precision)                      # (BL, P)
             rp = rows.reshape(BL, PS, 128)
 
             dx = x1 - x0
@@ -229,7 +236,7 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
             wbd[:].reshape(WC, BL), oh,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=precision)
+            precision=row_precision)
         water = rows.reshape(BL, PS, 128)[0] > 0.5
         stuck = act & ~exited & ~water
         return x1, y1, exited, stuck, hitl, oob
@@ -266,7 +273,10 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
         oob = jnp.zeros((PS, 128), jnp.bool_)
 
         def origin(xv, yv, oob):
-            """Window origin tracking the mean of in-window particles."""
+            """Window origin tracking the mean of in-window particles
+            (a lone discontinuity straggler barely moves the mean, gets
+            flagged oob on its first stage eval, and is excluded from
+            the mean afterwards)."""
             w = jnp.where(oob, 0.0, 1.0)
             cnt = jnp.maximum(jnp.sum(w), 1.0)
             tx = (xv - par_ref[_IDX_X0]) * par_ref[_IDX_INVDX]
@@ -297,11 +307,14 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
             act = st == _ACTIVE
 
             # time-collapsed stage windows from the 3 record windows
+            # (collapse only the data lanes; the rest is DMA padding)
+            HLc = min(HL, ((nv + 63) // 64) * 64)
+
             def win_at(stage):
                 c = coef0 + 9 * i + 3 * stage
-                return (par_ref[c] * wb[:].reshape(WC, HL)
-                        + par_ref[c + 1] * wc_[:].reshape(WC, HL)
-                        + par_ref[c + 2] * wf[:].reshape(WC, HL))
+                return (par_ref[c] * wb[:].reshape(WC, HL)[:, :HLc]
+                        + par_ref[c + 1] * wc_[:].reshape(WC, HL)[:, :HLc]
+                        + par_ref[c + 2] * wf[:].reshape(WC, HL)[:, :HLc])
 
             w1 = win_at(0)
             u1, v1, ww1, oob1 = stage_eval(par_ref, oy_f, ox_f, w1,
@@ -360,11 +373,7 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
             li = jnp.clip(ii2 - ox_f, 0.0, float(WX - 2))
             lj = jnp.clip(jj2 - oy_f, 0.0, float(WY - 2))
             wt = make_bilinear_onehot(li, lj, fx, fy, P)
-            zh = jax.lax.dot_general(
-                w4[:, nv - 2:nv], wt,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision)                          # (2, P)
+            zh = zh_dot(w4[:, nv - 2:nv], wt)             # (2, P)
             zhr = zh.reshape(2, PS, 128)
             zeta_p = zhr[0]
             h_p = zhr[1]

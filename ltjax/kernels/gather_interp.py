@@ -125,22 +125,26 @@ def _fit_thomas(zk, yk, c_off, c_diag):
     return _fit_thomas_multi(zk, [yk], c_off, c_diag)[0]
 
 
-def _eval_spline(zq, zk, yk, z2, gs):
-    """Evaluate the spline at zq (clamped to the knot range).
+def _eval_spline_multi(zq, zk, yks, z2s, gs):
+    """Evaluate several splines sharing knots zk at the same zq
+    (clamped to the knot range).
 
-    zq: (8, 128); zk/yk/z2: lists of K (8, 128).  Interval selection by
-    unrolled mask accumulation — no gathers, pure VPU.
+    zq: (PS, 128); zk: list of K (PS, 128); yks/z2s: per-profile lists.
+    Interval selection by unrolled mask accumulation — no gathers, pure
+    VPU; the interval masks, basis fractions, and gs() evaluations are
+    shared across profiles (u and v live on the same rho knots).
     """
     K = len(zk)
+    nprof = len(yks)
     zq = jnp.minimum(jnp.maximum(zq, zk[0]), zk[K - 1])
     one = jnp.ones_like(zq)
     zero = jnp.zeros_like(zq)
     z0 = zero
     z1 = zero
-    y0 = zero
-    y1 = zero
-    s0 = zero
-    s1 = zero
+    y0 = [zero] * nprof
+    y1 = [zero] * nprof
+    s0 = [zero] * nprof
+    s1 = [zero] * nprof
     prev = one                                  # zq >= zk[0] after clamp
     for k in range(K - 1):
         nxt = jnp.where(zq >= zk[k + 1], one, zero) if k < K - 2 else zero
@@ -148,14 +152,24 @@ def _eval_spline(zq, zk, yk, z2, gs):
         prev = nxt
         z0 = z0 + ind * zk[k]
         z1 = z1 + ind * zk[k + 1]
-        y0 = y0 + ind * yk[k]
-        y1 = y1 + ind * yk[k + 1]
-        s0 = s0 + ind * z2[k]
-        s1 = s1 + ind * z2[k + 1]
+        for p in range(nprof):
+            y0[p] = y0[p] + ind * yks[p][k]
+            y1[p] = y1[p] + ind * yks[p][k + 1]
+            s0[p] = s0[p] + ind * z2s[p][k]
+            s1[p] = s1[p] + ind * z2s[p][k + 1]
     hh = z1 - z0
     B2 = (zq - z0) / hh
     B1 = 1.0 - B2
-    return y0 * B1 + y1 * B2 + hh * hh * (s0 * gs(B1) + s1 * gs(B2))
+    g1 = gs(B1)
+    g2 = gs(B2)
+    hh2 = hh * hh
+    return [y0[p] * B1 + y1[p] * B2 + hh2 * (s0[p] * g1 + s1[p] * g2)
+            for p in range(nprof)]
+
+
+def _eval_spline(zq, zk, yk, z2, gs):
+    """Single-profile wrapper around _eval_spline_multi."""
+    return _eval_spline_multi(zq, zk, [yk], [z2], gs)[0]
 
 
 def make_bilinear_onehot(li, lj, fx, fy, P: int):
@@ -189,16 +203,47 @@ def make_cell_onehot(li, lj, P: int):
             * pltpu.repeat(coh, WY, 0))
 
 
+def blend_dot_fn(precision):
+    """(WC, HL) x (WC, P) -> (HL, P) one-hot blend matmul builder.
+
+    ``precision`` is a jax.lax.Precision (DEFAULT = one bf16 pass,
+    ~4e-3 relative; HIGHEST = 6-pass f32-exact) or the string "hilo3":
+    a manual hi/lo bf16 mantissa split of BOTH operands with the lo*lo
+    term dropped — 3 bf16 passes, ~2^-16 relative (~1.5e-5), on par
+    with the f32 scheme's own roundoff accumulation.  Mosaic has no
+    native 3-pass mode (Precision.HIGH is rejected).
+    """
+    dims = (((0,), (0,)), ((), ()))
+
+    if precision == "hilo3":
+        def dot(win, wt):
+            wh = win.astype(jnp.bfloat16)
+            wl = (win - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+            th = wt.astype(jnp.bfloat16)
+            tl = (wt - th.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def d(a, b):
+                return jax.lax.dot_general(
+                    a, b, dimension_numbers=dims,
+                    preferred_element_type=jnp.float32)
+
+            return d(wh, th) + d(wl, th) + d(wh, tl)
+        return dot
+
+    def dot(win, wt):
+        return jax.lax.dot_general(
+            win, wt, dimension_numbers=dims,
+            preferred_element_type=jnp.float32, precision=precision)
+    return dot
+
+
 def make_stage_eval(grid: Grid, sigma: float, nv: int, HL: int,
                     p_block: int, precision):
     """Build the shared find_currents evaluator for fused kernels.
 
     Returns ``stage_eval(par_ref, oy_f, ox_f, win, xv, yv, zv, oob)``
     where ``win`` is a (WC, HL) f32 *value* (callers read/collapse their
-    VMEM window refs).  ``precision`` controls the MXU one-hot blend
-    matmul: f32 operands need the multi-pass decomposition (HIGHEST) —
-    the default single bf16 pass loses ~4e-3 relative on the blended
-    profiles (measured on v5e), far outside the mirror's f32 fidelity.
+    VMEM window refs).  ``precision``: see blend_dot_fn.
     """
     P = p_block
     PS = P // 128
@@ -206,6 +251,7 @@ def make_stage_eval(grid: Grid, sigma: float, nv: int, HL: int,
     nx, ny = grid.nx, grid.ny
     gs, c_off, c_diag = _gs_fns(sigma)
     vt = grid.vtransform
+    blend_dot = blend_dot_fn(precision)
 
     def stage_eval(par_ref, oy_f, ox_f, win, xv, yv, zv, oob):
         """One find_currents evaluation on a (PS, 128) particle block."""
@@ -227,11 +273,12 @@ def make_stage_eval(grid: Grid, sigma: float, nv: int, HL: int,
         wt = make_bilinear_onehot(li, lj, fx, fy, P)
 
         # --- MXU gather+blend -------------------------------------------
-        blended = jax.lax.dot_general(
-            win, wt, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision)                              # (HL, P)
-        bl = blended.reshape(HL, PS, 128)
+        # only the first nv lanes carry data (the rest are 128-multiple
+        # DMA padding); slicing the operand to the next 64-lane multiple
+        # halves the MXU passes for us=20 (nv=63 -> 64 of 128 lanes)
+        HLc = min(HL, ((nv + 63) // 64) * 64)
+        blended = blend_dot(win[:, :HLc], wt)                 # (HLc, P)
+        bl = blended.reshape(HLc, PS, 128)
 
         zeta = bl[nv - 2]
         h = bl[nv - 1]
@@ -260,8 +307,7 @@ def make_stage_eval(grid: Grid, sigma: float, nv: int, HL: int,
         z2u, z2v = _fit_thomas_multi(z_r, [prof_u, prof_v], c_off, c_diag)
         z2w = _fit_thomas(z_w, prof_w, c_off, c_diag)
 
-        u = _eval_spline(zv, z_r, prof_u, z2u, gs)
-        v = _eval_spline(zv, z_r, prof_v, z2v, gs)
+        u, v = _eval_spline_multi(zv, z_r, [prof_u, prof_v], [z2u, z2v], gs)
         w = _eval_spline(zv, z_w, prof_w, z2w, gs)
 
         # --- near-bottom log layer ---------------------------------------

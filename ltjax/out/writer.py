@@ -56,6 +56,7 @@ class TrajectoryWriter:
         lon, lat = self._to_lonlat(p)
         snap = dict(
             t=float(t), lon=lon, lat=lat,
+            pid=np.asarray(p.pid, np.int32),
             depth=np.asarray(p.z, np.float64),
             status=np.asarray(p.status, np.int32),
             age=np.asarray(p.age, np.float64),
@@ -72,7 +73,8 @@ class TrajectoryWriter:
         if self._csv is not None:
             n = len(lon)
             for i in range(n):
-                row = (f"{snap['t']:.1f},{i},{lon[i]:.8f},{lat[i]:.8f},"
+                row = (f"{snap['t']:.1f},{snap['pid'][i]},"
+                       f"{lon[i]:.8f},{lat[i]:.8f},"
                        f"{snap['depth'][i]:.4f},{snap['status'][i]}")
                 if self.cfg.SaltTempOn:
                     row += f",{snap['salt'][i]:.4f},{snap['temp'][i]:.4f}"
@@ -95,6 +97,7 @@ class TrajectoryWriter:
             variables = {
                 "model_time": (("time",),
                                np.asarray([s["t"] for s in self._snaps])),
+                "pid": (("particle",), self._snaps[0]["pid"]),
                 "lon": (("time", "particle"), stack("lon")),
                 "lat": (("time", "particle"), stack("lat")),
                 "depth": (("time", "particle"), stack("depth")),

@@ -332,14 +332,12 @@ def rk4_displacement_packed(grid: Grid, tables, x, y, z, sigma: float,
 class ValueTable(NamedTuple):
     """One time-collapsed values-only table for the Pallas kernel path.
 
-    ``hi``/``lo`` are the bf16 mantissa split (hi = round(f32),
-    lo = round(f32 - hi)) consumed by the kernel's MXU passes; ``zh_rows``
-    are the 8-lane pair rows for zeta/h-only lookups; ``full`` is the
-    f32 original (kernel fallback mirror + tests).
+    ``zh_rows`` are the 8-lane pair rows for zeta/h-only lookups;
+    ``full`` is the f32 table the kernels window-DMA (any bf16
+    decomposition for the MXU happens in-kernel, see
+    kernels.gather_interp.blend_dot_fn).
     """
     full: jax.Array   # (Ny, Nx, HL) f32 value lanes [u|v|w|zeta|h|pad]
-    hi: jax.Array     # (Ny, Nx, HL) bf16
-    lo: jax.Array     # (Ny, Nx, HL) bf16
     zh_rows: jax.Array  # (Ny*Nx, 8) pair rows [zeta,h,0,0]x2
     t: jax.Array
 
@@ -363,12 +361,8 @@ def collapse_stage_values(grid: Grid, rec: PackedRecords, t) -> ValueTable:
     zh = jnp.stack([zeta, h, jnp.zeros_like(zeta), jnp.zeros_like(zeta)],
                    axis=-1)
     zh_rows = jnp.concatenate([zh, jnp.roll(zh, -1, axis=0)], axis=-1)
-    f32 = vals.astype(jnp.float32)
-    hi = f32.astype(jnp.bfloat16)
-    lo = (f32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     shape = (grid.ny, grid.nx, HL)
-    return ValueTable(full=vals.reshape(shape), hi=hi.reshape(shape),
-                      lo=lo.reshape(shape), zh_rows=zh_rows, t=tt)
+    return ValueTable(full=vals.reshape(shape), zh_rows=zh_rows, t=tt)
 
 
 def _fit_eval_profile(grid: Grid, prof_u, prof_v, prof_w, zeta_p, h_p, z,
@@ -452,6 +446,147 @@ def rk4_displacement_collapsed(grid: Grid, vtabs, x, y, z, sigma: float,
     return (sixth * (u1 + 2 * u2 + 2 * u3 + u4),
             sixth * (v1 + 2 * v2 + 2 * v3 + v4),
             sixth * (w1 + 2 * w2 + 2 * w3 + w4))
+
+
+class RecordsFlat(NamedTuple):
+    """Record-concatenated flat rows for the table-free collapsed
+    scheme: row c = [rec_b lanes | rec_c lanes | rec_f lanes] (3*nv).
+
+    Built ONCE per external step; per internal step the consumer
+    gathers 4 corner rows and applies polintd per particle — the exact
+    same per-corner arithmetic as collapse_stage_values + gather, with
+    no grid-sized work inside the step scan (the oob-patch path of the
+    external-step megakernel runs this on small subsets).
+    """
+    rows: jax.Array    # (C, 3*nv)
+    times: jax.Array   # (3,)
+
+
+def build_records_flat(grid: Grid, rec: PackedRecords) -> RecordsFlat:
+    three, C, nv = rec.tab.shape
+    rows = jnp.moveaxis(rec.tab, 0, 1).reshape(C, three * nv)
+    return RecordsFlat(rows=rows, times=rec.times)
+
+
+def _polintd_coefs(times, t):
+    t0, t1, t2 = times[0], times[1], times[2]
+    l0 = (t - t1) * (t - t2) / ((t0 - t1) * (t0 - t2))
+    l1 = (t - t0) * (t - t2) / ((t1 - t0) * (t1 - t2))
+    l2 = (t - t0) * (t - t1) / ((t2 - t0) * (t2 - t1))
+    return l0, l1, l2
+
+
+def find_currents_records(grid: Grid, rft: RecordsFlat, x, y, z, t,
+                          sigma: float, z0m: float):
+    """Blend-then-fit currents straight from record rows (gather 4
+    corners x 3 records in ONE row gather, polintd per corner, bilinear
+    blend, vertical fit) — value-identical to find_currents_collapsed
+    on the stage table at time t."""
+    dtype = x.dtype
+    us, ws = grid.us, grid.ws
+    nv = n_value_lanes(us, ws)
+    i, fx = locate(grid.x_rho, x, grid.uniform)
+    j, fy = locate(grid.y_rho, y, grid.uniform)
+    nx = grid.nx
+    c00 = j.astype(jnp.int32) * nx + i.astype(jnp.int32)
+    rows = rft.rows
+    r00 = rows[c00]
+    r01 = rows[c00 + 1]
+    r10 = rows[c00 + nx]
+    r11 = rows[c00 + nx + 1]
+    tdt = rft.times.dtype
+    l0, l1, l2 = _polintd_coefs(rft.times, jnp.asarray(t, tdt))
+    cd = rows.dtype
+    l0 = jnp.asarray(l0, cd)
+    l1 = jnp.asarray(l1, cd)
+    l2 = jnp.asarray(l2, cd)
+
+    def collapse(r):
+        return r[:, :nv] * l0 + r[:, nv:2 * nv] * l1 + r[:, 2 * nv:] * l2
+
+    v00 = collapse(r00)
+    v01 = collapse(r01)
+    v10 = collapse(r10)
+    v11 = collapse(r11)
+    fxd = fx.astype(cd)[:, None]
+    fyd = fy.astype(cd)[:, None]
+    blended = ((v00 * (1 - fxd) + v01 * fxd) * (1 - fyd)
+               + (v10 * (1 - fxd) + v11 * fxd) * fyd)        # (N, nv)
+    zeta_p = blended[:, nv - 2]
+    h_p = blended[:, nv - 1]
+    u, v, w, z_r0 = _fit_eval_profile(
+        grid, blended[:, 0:us], blended[:, us:2 * us],
+        blended[:, 2 * us:2 * us + ws], zeta_p, h_p,
+        z.astype(blended.dtype), sigma)
+    z0m = jnp.asarray(z0m, dtype)
+    u = u.astype(dtype)
+    v = v.astype(dtype)
+    w = w.astype(dtype)
+    zab = z + h_p.astype(dtype)
+    ztb = jnp.maximum(z_r0.astype(dtype) + h_p.astype(dtype), 2.0 * z0m)
+    decay = jnp.log(jnp.maximum(zab, z0m) / z0m) / jnp.log(ztb / z0m)
+    factor = jnp.where(zab < ztb, jnp.clip(decay, 0.0, 1.0), 1.0)
+    return u * factor, v * factor, w, zeta_p.astype(dtype), h_p.astype(dtype)
+
+
+def rk4_displacement_records(grid: Grid, rft: RecordsFlat, x, y, z, t,
+                             sigma: float, z0m: float, idt: float):
+    """RK4 from record rows (table-free collapsed scheme)."""
+    dt = jnp.asarray(idt, x.dtype)
+    half = 0.5 * dt
+    tdt = rft.times.dtype
+    tt = jnp.asarray(t, tdt)
+    t2 = tt + jnp.asarray(0.5 * idt, tdt)
+    t4 = tt + jnp.asarray(idt, tdt)
+    u1, v1, w1, _, _ = find_currents_records(grid, rft, x, y, z, tt,
+                                             sigma, z0m)
+    u2, v2, w2, _, _ = find_currents_records(
+        grid, rft, x + u1 * half, y + v1 * half, z + w1 * half, t2,
+        sigma, z0m)
+    u3, v3, w3, _, _ = find_currents_records(
+        grid, rft, x + u2 * half, y + v2 * half, z + w2 * half, t2,
+        sigma, z0m)
+    u4, v4, w4, _, _ = find_currents_records(
+        grid, rft, x + u3 * dt, y + v3 * dt, z + w3 * dt, t4, sigma, z0m)
+    sixth = dt / 6.0
+    return (sixth * (u1 + 2 * u2 + 2 * u3 + u4),
+            sixth * (v1 + 2 * v2 + 2 * v3 + v4),
+            sixth * (w1 + 2 * w2 + 2 * w3 + w4))
+
+
+def zeta_h_records(grid: Grid, rft: RecordsFlat, x, y, t):
+    """Free surface + bathymetry at particles from record rows."""
+    dtype = x.dtype
+    us, ws = grid.us, grid.ws
+    nv = n_value_lanes(us, ws)
+    i, fx = locate(grid.x_rho, x, grid.uniform)
+    j, fy = locate(grid.y_rho, y, grid.uniform)
+    nx = grid.nx
+    c00 = j.astype(jnp.int32) * nx + i.astype(jnp.int32)
+    rows = rft.rows
+    tdt = rft.times.dtype
+    l0, l1, l2 = _polintd_coefs(rft.times, jnp.asarray(t, tdt))
+    cd = rows.dtype
+    l0 = jnp.asarray(l0, cd)
+    l1 = jnp.asarray(l1, cd)
+    l2 = jnp.asarray(l2, cd)
+
+    def zh(r):
+        zc = r[:, nv - 2] * l0 + r[:, nv + nv - 2] * l1 + r[:, 2 * nv + nv - 2] * l2
+        hc_ = r[:, nv - 1] * l0 + r[:, nv + nv - 1] * l1 + r[:, 2 * nv + nv - 1] * l2
+        return zc, hc_
+
+    z00, h00 = zh(rows[c00])
+    z01, h01 = zh(rows[c00 + 1])
+    z10, h10 = zh(rows[c00 + nx])
+    z11, h11 = zh(rows[c00 + nx + 1])
+    fxd = fx.astype(cd)
+    fyd = fy.astype(cd)
+    zeta_p = ((z00 * (1 - fxd) + z01 * fxd) * (1 - fyd)
+              + (z10 * (1 - fxd) + z11 * fxd) * fyd)
+    h_p = ((h00 * (1 - fxd) + h01 * fxd) * (1 - fyd)
+           + (h10 * (1 - fxd) + h11 * fxd) * fyd)
+    return zeta_p.astype(dtype), h_p.astype(dtype)
 
 
 def build_record_tables(grid: Grid, rec: PackedRecords) -> jax.Array:

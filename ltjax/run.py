@@ -119,6 +119,14 @@ def run(cfg: Config, resume: bool = False,
 
     grid = load_grid(cfg)
     ctx = build_context(cfg, grid)
+    if cfg.BoundaryBLNs:
+        bd.dump_boundaries(
+            ctx.bounds, cfg.outpath,
+            to_lonlat=lambda x, y: (
+                convert.x2lon(x, y, cfg.lonmin, cfg.latmin,
+                              cfg.Earth_Radius, cfg.SphericalProjection),
+                convert.y2lat(y, cfg.latmin, cfg.Earth_Radius,
+                              cfg.SphericalProjection)))
     series = RomsSeries(cfg, paths=series_paths)
     global_rec = 0
 

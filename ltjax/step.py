@@ -59,8 +59,15 @@ def make_params(cfg: Config):
     return adv, turb, beh
 
 
+def _precision(cfg: Config):
+    return {"highest": jax.lax.Precision.HIGHEST,
+            "hilo3": "hilo3",
+            "default": jax.lax.Precision.DEFAULT}[cfg.kernel_precision]
+
+
 def _rk4_fused_padded(grid: Grid, vtabs, x, y, z, sigma: float, z0m: float,
-                      idt: float, p_block: int, interpret: bool = False):
+                      idt: float, p_block: int, precision,
+                      interpret: bool = False):
     """Pad the batch to a p_block multiple (replicating the last
     particle), run the fused kernel, slice back."""
     n = x.shape[0]
@@ -71,7 +78,7 @@ def _rk4_fused_padded(grid: Grid, vtabs, x, y, z, sigma: float, z0m: float,
         z = jnp.concatenate([z, jnp.broadcast_to(z[-1:], (pad,))])
     dx, dy, dz = gi.rk4_displacement_fused(
         grid, vtabs, x, y, z, sigma, z0m, idt, p_block=p_block,
-        interpret=interpret)
+        precision=precision, interpret=interpret)
     return dx[:n], dy[:n], dz[:n]
 
 
@@ -87,7 +94,12 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
     ``mode`` selects among them (native when ``prec`` is None):
       * "packed"    — pair-row tables, column splines (fit-then-blend)
       * "collapsed" — values tables, blend-then-fit (the fused kernels'
-                      scheme, pure XLA — their oracle and oob patch)
+                      scheme, pure XLA — their oracle)
+      * "records"   — the same collapsed scheme evaluated straight from
+                      record rows (``prec`` is a pk.RecordsFlat): no
+                      grid-sized table builds inside a step scan — the
+                      megakernel's oob-patch path (value-identical to
+                      "collapsed")
       * "kernel"    — per-step fused Pallas RK4 kernel (requires
                       Hilbert-sorted f32 positions on a uniform grid —
                       make_external_step arranges the sort)
@@ -99,7 +111,9 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
     tt = jnp.asarray(t, dtype)
     fast = prec is not None
     blendfit = mode in ("collapsed", "kernel")
-    if fast and blendfit:
+    if fast and mode == "records":
+        rft = prec
+    elif fast and blendfit:
         tabs = pk.stage_value_tables(grid, prec, t, float(cfg.idt))
     elif fast:
         tabs = pk.stage_tables(grid, prec, t, float(cfg.idt),
@@ -114,7 +128,11 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
     if fast and mode == "kernel":
         dxa, dya, dza = _rk4_fused_padded(
             grid, tabs, p.x, p.y, p.z, cfg.tension_sigma, cfg.z0,
-            float(cfg.idt), cfg.kernel_block)
+            float(cfg.idt), cfg.kernel_block, _precision(cfg))
+    elif fast and mode == "records":
+        dxa, dya, dza = pk.rk4_displacement_records(
+            grid, rft, p.x, p.y, p.z, t, cfg.tension_sigma, cfg.z0,
+            float(cfg.idt))
     elif fast and mode == "collapsed":
         dxa, dya, dza = pk.rk4_displacement_collapsed(
             grid, tabs, p.x, p.y, p.z, cfg.tension_sigma, cfg.z0,
@@ -142,12 +160,18 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
     # --- behavior -------------------------------------------------------
     dies = jnp.zeros(p.n, bool)
     if cfg.Behavior != 0 or cfg.mortality:
-        if fast:
+        if fast and mode == "records":
+            zeta_p, h_p = pk.zeta_h_records(grid, rft, p.x, p.y, t)
+        elif fast:
             zeta_p, h_p = pk.zeta_h_packed(grid, tabs[0], p.x, p.y)
         else:
             zeta_p, h_p = zeta_h_at(grid, fields, p.x, p.y, tt)
         if cfg.Behavior == 7:
-            if fast and blendfit:
+            if fast and mode == "records":
+                cur = pk.find_currents_records(grid, rft, p.x, p.y, p.z,
+                                               t, cfg.tension_sigma,
+                                               cfg.z0)[:2]
+            elif fast and blendfit:
                 cur = pk.find_currents_collapsed(grid, tabs[0], p.x, p.y,
                                                  p.z, cfg.tension_sigma,
                                                  cfg.z0)[:2]
@@ -176,7 +200,10 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
 
     # --- vertical reflection at the new column --------------------------
     z1 = p.z + dz
-    if fast:
+    if fast and mode == "records":
+        zeta1, h1 = pk.zeta_h_records(grid, rft, xr, yr,
+                                      t + float(cfg.idt))
+    elif fast:
         zeta1, h1 = pk.zeta_h_packed(grid, tabs[2], xr, yr)
     else:
         zeta1, h1 = zeta_h_at(grid, fields, xr, yr, tt + idt)
@@ -328,6 +355,7 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
         padded(p.status, st.NOT_RELEASED),
         cfg.tension_sigma, n_int, idt,
         n_iter=cfg.reflect_iters, p_block=pb, s_max=s_max,
+        precision=_precision(cfg),
         open_exits=cfg.OpenOceanBoundary)
     xo, yo, zo = xo[:n], yo[:n], zo[:n]
     sto, hitl, hitb, oob = sto[:n], hitl[:n], hitb[:n], oob[:n]
@@ -342,13 +370,14 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
     # --- exact recompute of out-of-window particles ----------------------
     cap = min(n, max(256, n // 64))
     cnt = jnp.sum(oob)
+    rft = pk.build_records_flat(grid, prec)
 
     def run_subset(pp: st.Particles) -> st.Particles:
         def body(carry, i):
             t = t0 + i * idt
             return internal_step(ctx, cfg, base_key, carry, fields, t,
-                                 ext_idx * n_int + i, prec,
-                                 mode="collapsed"), None
+                                 ext_idx * n_int + i, rft,
+                                 mode="records"), None
         p2, _ = jax.lax.scan(body, pp, jnp.arange(n_int))
         return p2
 

@@ -104,15 +104,26 @@ def test_rk4_collapsed_matches_native(case):
     np.testing.assert_allclose(dz1, dz0, rtol=1e-9, atol=1e-9)
 
 
-def test_value_table_hilo_split_accuracy(case):
-    """bf16 hi+lo mantissa split reconstructs f32 to ~2^-16 relative."""
+def test_rk4_records_matches_collapsed(case):
+    """Table-free records scheme == collapsed stage-table scheme (the
+    gather commutes with polintd exactly)."""
     c, fs, x, y, z = case
-    rec = pk.build_packed_records(c.grid, fs)
-    vt = pk.collapse_stage_values(c.grid, rec, 100.0)
-    recon = vt.hi.astype(jnp.float32) + vt.lo.astype(jnp.float32)
-    full = vt.full.astype(jnp.float32)
-    scale = jnp.maximum(jnp.abs(full), 1e-3)
-    assert float(jnp.max(jnp.abs(recon - full) / scale)) < 2e-5
+    grid = c.grid
+    rec = pk.build_packed_records(grid, fs)
+    vtabs = pk.stage_value_tables(grid, rec, 100.0, 120.0)
+    dx0, dy0, dz0 = pk.rk4_displacement_collapsed(grid, vtabs, x, y, z,
+                                                  0.0, 5e-4, 120.0)
+    rft = pk.build_records_flat(grid, rec)
+    dx1, dy1, dz1 = pk.rk4_displacement_records(grid, rft, x, y, z, 100.0,
+                                                0.0, 5e-4, 120.0)
+    np.testing.assert_allclose(dx1, dx0, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(dy1, dy0, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(dz1, dz0, rtol=1e-12, atol=1e-12)
+    z0c, h0c = pk.zeta_h_packed(grid, pk.stage_tables(
+        grid, rec, 100.0, 120.0, 0.0)[0], x, y)
+    z1c, h1c = pk.zeta_h_records(grid, rft, x, y, 100.0)
+    np.testing.assert_allclose(z1c, z0c, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(h1c, h0c, rtol=1e-9, atol=1e-12)
 
 
 def test_rk4_packed_sheared_time_ramped():
