@@ -41,7 +41,7 @@ y = jnp.concatenate([y, jnp.broadcast_to(y[-1:], (pad,))])
 z = jnp.concatenate([z, jnp.broadcast_to(z[-1:], (pad,))])
 
 fused = jax.jit(lambda x, y, z: rk4_displacement_fused(
-    grid, vtabs, x, y, z, sigma, z0, idt))
+    grid, vtabs, x, y, z, sigma, z0, idt)[:3])
 mirror = jax.jit(lambda x, y, z: pk.rk4_displacement_collapsed(
     grid, vtabs, x, y, z, sigma, z0, idt))
 

@@ -241,7 +241,7 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
         stuck = act & ~exited & ~water
         return x1, y1, exited, stuck, hitl, oob
 
-    def kernel(org_ref, par_ref, x_ref, y_ref, z_ref, dob_ref, st_ref,
+    def kernel(par_ref, x_ref, y_ref, z_ref, dob_ref, st_ref,
                tab_hbm, brows_hbm,
                xo_ref, yo_ref, zo_ref, sto_ref, hitl_ref, hitb_ref,
                oob_ref,
@@ -438,7 +438,9 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
     # pass the true slot count via s_max
     s_real = (BL - 8) // 8 if s_max is None else int(s_max)
 
-    org = gi.block_origins(grid, x, y, P_)
+    # no precomputed origins: the kernel tracks them in-kernel from the
+    # block means (a (B, 2) SMEM prefetch operand pads its minor dim to
+    # 128 and blows the 1 MB SMEM budget at 10M particles)
     kern = _make_ext_kernel(grid, float(sigma), float(idt), nv, HL, BL,
                             n_int, n_iter, P_, precision,
                             open_exits=open_exits, s_max=s_real)
@@ -446,14 +448,13 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
     fshape = jax.ShapeDtypeStruct((B, PS, 128), jnp.float32)
     ishape = jax.ShapeDtypeStruct((B, PS, 128), jnp.int32)
 
-    def blk(b, org_ref):
+    def blk(b, par_ref):
         return (b, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=1,                                # params
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),            # params
             pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
@@ -480,7 +481,7 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
         kern,
         out_shape=[fshape, fshape, fshape, ishape, ishape, ishape, ishape],
         grid_spec=grid_spec, interpret=interpret,
-    )(org, params, rs(x, jnp.float32), rs(y, jnp.float32),
+    )(params, rs(x, jnp.float32), rs(y, jnp.float32),
       rs(z, jnp.float32), rs(dob, jnp.float32), rs(status, jnp.int32),
       rtab, brows)
     return (xo.reshape(n), yo.reshape(n), zo.reshape(n), sto.reshape(n),

@@ -334,8 +334,10 @@ def _make_kernel(grid: Grid, sigma: float, idt: float, nv: int, HL: int,
                dx_ref, dy_ref, dz_ref, oob_ref,
                w1s, w2s, w4s, sems):
         b = pl.program_id(0)
-        oy = org_ref[b, 0]
-        ox = org_ref[b, 1]
+        # org is flat (2B,): a (B, 2) SMEM operand pads its minor dim
+        # to 128 lanes and overflows SMEM at large block counts
+        oy = org_ref[2 * b]
+        ox = org_ref[2 * b + 1]
         d1 = pltpu.make_async_copy(
             t1_hbm.at[pl.ds(oy, WY), pl.ds(ox, WX), :], w1s, sems.at[0])
         d2 = pltpu.make_async_copy(
@@ -413,7 +415,8 @@ def block_origins(grid: Grid, x, y, p_block: int = P) -> jax.Array:
     im = i.reshape(B, p_block)[:, p_block // 2]
     oy = jnp.clip(jm - WY // 2, 0, max(grid.ny - WY, 0))
     ox = jnp.clip(im - WX // 2, 0, max(grid.nx - WX, 0))
-    return jnp.stack([oy, ox], axis=1).astype(jnp.int32)
+    # flat (2B,) layout: see the kernel-side comment on SMEM padding
+    return jnp.stack([oy, ox], axis=1).astype(jnp.int32).reshape(-1)
 
 
 def rk4_displacement_fused(grid: Grid, vtabs, x, y, z, sigma: float,
@@ -481,24 +484,20 @@ def rk4_displacement_fused(grid: Grid, vtabs, x, y, z, sigma: float,
     oob = oob.reshape(n) != 0
 
     # --- exact recompute of out-of-window particles ----------------------
+    # first ``cap`` flagged particles are recomputed by the XLA mirror;
+    # overflow beyond that is reported via the returned mask (callers
+    # flag status=ERROR) — a full-batch lax.cond fallback would have
+    # its HBM budgeted at compile time and OOMs at 10M particles
     cap = min(n, max(256, n // overflow_frac))
-    cnt = jnp.sum(oob)
-
-    def patch(args):
-        dxk, dyk, dzk = args
-        idxs = jnp.nonzero(oob, size=cap, fill_value=n)[0]
-        xp = jnp.concatenate([x, x[:1]])
-        yp = jnp.concatenate([y, y[:1]])
-        zp = jnp.concatenate([z, z[:1]])
-        dxf, dyf, dzf = pk.rk4_displacement_collapsed(
-            grid, vtabs, xp[idxs], yp[idxs], zp[idxs], sigma, z0m, idt)
-        dxp = jnp.concatenate([dxk, dxk[:1]]).at[idxs].set(dxf)[:n]
-        dyp = jnp.concatenate([dyk, dyk[:1]]).at[idxs].set(dyf)[:n]
-        dzp = jnp.concatenate([dzk, dzk[:1]]).at[idxs].set(dzf)[:n]
-        return dxp, dyp, dzp
-
-    def full(args):
-        return pk.rk4_displacement_collapsed(grid, vtabs, x, y, z,
-                                             sigma, z0m, idt)
-
-    return jax.lax.cond(cnt <= cap, patch, full, (dx, dy, dz))
+    rank = jnp.cumsum(oob.astype(jnp.int32)) - 1
+    overflow = oob & (rank >= cap)
+    idxs = jnp.nonzero(oob, size=cap, fill_value=n)[0]
+    xp = jnp.concatenate([x, x[:1]])
+    yp = jnp.concatenate([y, y[:1]])
+    zp = jnp.concatenate([z, z[:1]])
+    dxf, dyf, dzf = pk.rk4_displacement_collapsed(
+        grid, vtabs, xp[idxs], yp[idxs], zp[idxs], sigma, z0m, idt)
+    dx = jnp.concatenate([dx, dx[:1]]).at[idxs].set(dxf)[:n]
+    dy = jnp.concatenate([dy, dy[:1]]).at[idxs].set(dyf)[:n]
+    dz = jnp.concatenate([dz, dz[:1]]).at[idxs].set(dzf)[:n]
+    return dx, dy, dz, overflow

@@ -76,10 +76,10 @@ def _rk4_fused_padded(grid: Grid, vtabs, x, y, z, sigma: float, z0m: float,
         x = jnp.concatenate([x, jnp.broadcast_to(x[-1:], (pad,))])
         y = jnp.concatenate([y, jnp.broadcast_to(y[-1:], (pad,))])
         z = jnp.concatenate([z, jnp.broadcast_to(z[-1:], (pad,))])
-    dx, dy, dz = gi.rk4_displacement_fused(
+    dx, dy, dz, ovf = gi.rk4_displacement_fused(
         grid, vtabs, x, y, z, sigma, z0m, idt, p_block=p_block,
         precision=precision, interpret=interpret)
-    return dx[:n], dy[:n], dz[:n]
+    return dx[:n], dy[:n], dz[:n], ovf[:n]
 
 
 def internal_step(ctx: StepContext, cfg: Config, base_key,
@@ -125,8 +125,9 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
     active = status == st.ACTIVE
 
     # --- advection ------------------------------------------------------
+    adv_err = jnp.zeros(p.n, bool)
     if fast and mode == "kernel":
-        dxa, dya, dza = _rk4_fused_padded(
+        dxa, dya, dza, adv_err = _rk4_fused_padded(
             grid, tabs, p.x, p.y, p.z, cfg.tension_sigma, cfg.z0,
             float(cfg.idt), cfg.kernel_block, _precision(cfg))
     elif fast and mode == "records":
@@ -226,7 +227,7 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
 
     new_status = status
     new_status = jnp.where(active & exited, st.OUT_OF_DOMAIN, new_status)
-    new_status = jnp.where(active & stuck, st.ERROR, new_status)
+    new_status = jnp.where(active & (stuck | adv_err), st.ERROR, new_status)
     if cfg.mortality:
         new_status = jnp.where(active & dies & ~exited, st.DEAD, new_status)
     if cfg.settlementon:
@@ -368,8 +369,13 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
                      hit_land=hit_land, hit_bottom=hit_bottom)
 
     # --- exact recompute of out-of-window particles ----------------------
+    # Only the first ``cap`` flagged particles are recomputed (static
+    # shapes); any beyond that — never observed below ~2% oob, cap is
+    # ~1.6% — are flagged ERROR, visible in the status counts and fatal
+    # under ErrorFlag=0.  (A lax.cond full-batch fallback would get its
+    # HBM budgeted at compile time: 4x N x 189 gather temps OOM'd the
+    # chip at 10M particles.)
     cap = min(n, max(256, n // 64))
-    cnt = jnp.sum(oob)
     rft = pk.build_records_flat(grid, prec)
 
     def run_subset(pp: st.Particles) -> st.Particles:
@@ -381,27 +387,23 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
         p2, _ = jax.lax.scan(body, pp, jnp.arange(n_int))
         return p2
 
-    def patch(out: st.Particles) -> st.Particles:
-        idxs = jnp.nonzero(oob, size=cap, fill_value=n)[0]
-        sub0 = jax.tree.map(
-            lambda a: jnp.concatenate(
-                [a, a[-1:]])[idxs], p)
-        sub = run_subset(sub0)
+    rank = jnp.cumsum(oob.astype(jnp.int32)) - 1
+    overflow = oob & (rank >= cap)
+    idxs = jnp.nonzero(oob, size=cap, fill_value=n)[0]
+    sub0 = jax.tree.map(
+        lambda a: jnp.concatenate([a, a[-1:]])[idxs], p)
+    sub = run_subset(sub0)
 
-        def scat(dst, src):
-            return jnp.concatenate([dst, dst[-1:]]).at[idxs].set(src)[:n]
+    def scat(dst, src):
+        return jnp.concatenate([dst, dst[-1:]]).at[idxs].set(src)[:n]
 
-        return out._replace(
-            x=scat(out.x, sub.x), y=scat(out.y, sub.y),
-            z=scat(out.z, sub.z), age=scat(out.age, sub.age),
-            status=scat(out.status, sub.status),
-            hit_land=scat(out.hit_land, sub.hit_land),
-            hit_bottom=scat(out.hit_bottom, sub.hit_bottom))
-
-    def full(out: st.Particles) -> st.Particles:
-        return run_subset(p)
-
-    return jax.lax.cond(cnt <= cap, patch, full, out)
+    out = out._replace(
+        x=scat(out.x, sub.x), y=scat(out.y, sub.y),
+        z=scat(out.z, sub.z), age=scat(out.age, sub.age),
+        status=scat(out.status, sub.status),
+        hit_land=scat(out.hit_land, sub.hit_land),
+        hit_bottom=scat(out.hit_bottom, sub.hit_bottom))
+    return out._replace(status=jnp.where(overflow, st.ERROR, out.status))
 
 
 def summary_counts(p: st.Particles):
