@@ -46,9 +46,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..grid import Grid
 from ..physics.boundary import Boundaries, LAND, OPEN
+from .. import rng as _rng
 from .gather_interp import (WC, WX, WY, _IDX_HC, _IDX_INVDX, _IDX_INVDY,
-                            _IDX_SC0, _IDX_X0, _IDX_Y0, _IDX_Z0,
-                            make_bilinear_onehot, make_cell_onehot,
+                            _IDX_SC0, _IDX_X0, _IDX_Y0, _IDX_Z0, _ds_fn,
+                            _eval_spline, _eval_spline_deriv, _fit_thomas,
+                            _gs_fns, make_bilinear_onehot, make_cell_onehot,
                             make_stage_eval)
 
 # extra head-scalar slots (gather_interp reserves 0..5; 6..15 ours)
@@ -58,6 +60,8 @@ _IDX_BY0 = 8
 _IDX_INVBDY = 9
 _IDX_T0 = 10       # external-step start time [s]
 _IDX_IDT = 11      # internal step [s]
+_IDX_HSCALE = 12   # sqrt(2 * ConstantHTurb * idt)
+_IDX_VCONST = 13   # sqrt(2 * ConstantVTurb * idt / r_var), r_var = 1/3
 _REFLECT_EPS = 1e-6
 
 
@@ -66,7 +70,9 @@ def _head_len(us: int, ws: int) -> int:
 
 
 def params_array_ext(grid: Grid, bounds: Boundaries, z0m: float,
-                     t0, times, idt: float, n_int: int) -> jax.Array:
+                     t0, times, idt: float, n_int: int,
+                     const_hturb: float = 0.0,
+                     const_vturb: float = 0.0) -> jax.Array:
     """SMEM params: head scalars + s/Cs pairs + per-(step, stage)
     polintd coefficients (n_int * 9 floats; stage times are
     t0 + i*idt + {0, idt/2, idt})."""
@@ -86,6 +92,8 @@ def params_array_ext(grid: Grid, bounds: Boundaries, z0m: float,
     head[_IDX_INVBDX] = 1.0 / (xe[1] - xe[0])
     head[_IDX_BY0] = ye[0]
     head[_IDX_INVBDY] = 1.0 / (ye[1] - ye[0])
+    head[_IDX_HSCALE] = np.sqrt(2.0 * const_hturb * idt)
+    head[_IDX_VCONST] = np.sqrt(2.0 * const_vturb * idt * 3.0)
     inter = np.empty(2 * (us + ws), np.float64)
     inter[0:2 * us:2] = np.asarray(grid.s_rho, np.float64)
     inter[1:2 * us:2] = np.asarray(grid.Cs_r, np.float64)
@@ -110,6 +118,22 @@ def params_array_ext(grid: Grid, bounds: Boundaries, z0m: float,
     return jnp.concatenate([static, coef])
 
 
+def rng_keys_array(base_key, ext_idx, n_int: int) -> jax.Array:
+    """(n_int * 4,) int32: per-internal-step derived Threefry key pairs
+    for the HTURB and VTURB substreams — EXACTLY
+    ltjax.rng.stream_key(base_key, ext_idx*n_int + i, substream), so
+    kernel draws match the XLA paths bit-for-bit."""
+    k0, k1 = _rng.seed_words(base_key)
+    steps = (jnp.asarray(ext_idx, jnp.uint32) * jnp.uint32(n_int)
+             + jnp.arange(n_int, dtype=jnp.uint32))
+    h0, h1 = _rng.threefry2x32(k0, k1, steps,
+                               jnp.full_like(steps, _rng.HTURB))
+    v0, v1 = _rng.threefry2x32(k0, k1, steps,
+                               jnp.full_like(steps, _rng.VTURB))
+    arr = jnp.stack([h0, h1, v0, v1], axis=-1).reshape(-1)
+    return jax.lax.bitcast_convert_type(arr, jnp.int32)
+
+
 def boundary_rows_table(bounds: Boundaries, ny: int, nx: int) -> np.ndarray:
     """(Ny, Nx, BL) f32 boundary cell-row table, lanes padded to a
     128-multiple (window-DMA minor-dim tiling requirement)."""
@@ -128,14 +152,19 @@ _ERROR = 5
 
 
 def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
-                     HL: int, BL: int, n_int: int, n_iter: int,
+                     ntot: int, HL: int, BL: int, n_int: int, n_iter: int,
                      p_block: int, precision, open_exits: bool,
-                     s_max: int):
+                     s_max: int, hturb_on: bool, vturb_on: bool,
+                     vturb_aks: bool):
     P = p_block
     PS = P // 128
+    ws = grid.ws
     nx, ny = grid.nx, grid.ny
     stage_eval = make_stage_eval(grid, sigma, nv, HL, P, precision)
     coef0 = _head_len(grid.us, grid.ws)
+    gs, c_off, c_diag = _gs_fns(sigma)
+    ds = _ds_fn(sigma)
+    any_turb = hturb_on or vturb_on
     from .gather_interp import blend_dot_fn
     zh_dot = blend_dot_fn(precision)
     # boundary row-selects stay f32-exact: segment coords are O(1e5) m,
@@ -241,8 +270,8 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
         stuck = act & ~exited & ~water
         return x1, y1, exited, stuck, hitl, oob
 
-    def kernel(par_ref, x_ref, y_ref, z_ref, dob_ref, st_ref,
-               tab_hbm, brows_hbm,
+    def kernel(par_ref, rngk_ref, x_ref, y_ref, z_ref, dob_ref, st_ref,
+               pid_ref, tab_hbm, brows_hbm,
                xo_ref, yo_ref, zo_ref, sto_ref, hitl_ref, hitb_ref,
                oob_ref,
                wb, wc_, wf, wbd, sems):
@@ -308,7 +337,7 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
 
             # time-collapsed stage windows from the 3 record windows
             # (collapse only the data lanes; the rest is DMA padding)
-            HLc = min(HL, ((nv + 63) // 64) * 64)
+            HLc = min(HL, ((ntot + 63) // 64) * 64)
 
             def win_at(stage):
                 c = coef0 + 9 * i + 3 * stage
@@ -317,8 +346,12 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                         + par_ref[c + 2] * wf[:].reshape(WC, HL)[:, :HLc])
 
             w1 = win_at(0)
-            u1, v1, ww1, oob1 = stage_eval(par_ref, oy_f, ox_f, w1,
-                                           xv, yv, zv, oob)
+            if vturb_aks:
+                u1, v1, ww1, oob1, (bl1, z_w1) = stage_eval(
+                    par_ref, oy_f, ox_f, w1, xv, yv, zv, oob, extras=True)
+            else:
+                u1, v1, ww1, oob1 = stage_eval(par_ref, oy_f, ox_f, w1,
+                                               xv, yv, zv, oob)
             w2 = win_at(1)
             u2, v2, ww2, oob1 = stage_eval(
                 par_ref, oy_f, ox_f, w2,
@@ -336,6 +369,39 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
             x1 = xv + sixth * (u1 + 2.0 * u2 + 2.0 * u3 + u4)
             y1 = yv + sixth * (v1 + 2.0 * v2 + 2.0 * v3 + v4)
             z1 = zv + sixth * (ww1 + 2.0 * ww2 + 2.0 * ww3 + ww4)
+
+            # --- turbulence (in-kernel Threefry; identical streams to
+            # ltjax.rng, so kernel and XLA-patch paths agree) ----------
+            if any_turb:
+                pidv = pid_ref[0].astype(jnp.uint32)
+                zero_u = jnp.zeros_like(pidv)
+            if hturb_on:
+                kh0 = rngk_ref[4 * i].astype(jnp.uint32)
+                kh1 = rngk_ref[4 * i + 1].astype(jnp.uint32)
+                hb0, hb1 = _rng.threefry2x32(kh0, kh1, pidv, zero_u)
+                n0, n1 = _rng.box_muller(hb0, hb1, jnp.float32)
+                x1 = x1 + n0 * par_ref[_IDX_HSCALE]
+                y1 = y1 + n1 * par_ref[_IDX_HSCALE]
+            if vturb_on:
+                kv0 = rngk_ref[4 * i + 2].astype(jnp.uint32)
+                kv1 = rngk_ref[4 * i + 3].astype(jnp.uint32)
+                vb0, _ = _rng.threefry2x32(kv0, kv1, pidv, zero_u)
+                R = _rng.bits_to_symmetric(vb0, jnp.float32)
+                if vturb_aks:
+                    # Visser RDM on the spline-fit Aks(z) profile
+                    # (mirrors ltjax.physics.turb.vturb)
+                    prof_a = [jnp.maximum(bl1[nv + k], 0.0)
+                              for k in range(ws)]
+                    z2a = _fit_thomas(z_w1, prof_a, c_off, c_diag)
+                    kprime = _eval_spline_deriv(zv, z_w1, prof_a, z2a, ds)
+                    zmid = jnp.clip(zv + 0.5 * kprime * idtc,
+                                    z_w1[0], z_w1[-1])
+                    kmid = jnp.maximum(
+                        _eval_spline(zmid, z_w1, prof_a, z2a, gs), 0.0)
+                    z1 = z1 + kprime * idtc + R * jnp.sqrt(
+                        6.0 * kmid * idtc)
+                else:
+                    z1 = z1 + R * par_ref[_IDX_VCONST]
 
             # horizontal boundary reflection (skipped when the window
             # holds no segments — interior blocks)
@@ -413,6 +479,9 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
                    precision=jax.lax.Precision.HIGHEST,
                    s_max: "int | None" = None,
                    open_exits: bool = True,
+                   pids=None, rngk=None,
+                   hturb_on: bool = False, vturb_on: bool = False,
+                   with_aks: bool = False,
                    interpret: bool = False):
     """Run one full external step in-kernel.
 
@@ -441,20 +510,26 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
     # no precomputed origins: the kernel tracks them in-kernel from the
     # block means (a (B, 2) SMEM prefetch operand pads its minor dim to
     # 128 and blows the 1 MB SMEM budget at 10M particles)
-    kern = _make_ext_kernel(grid, float(sigma), float(idt), nv, HL, BL,
-                            n_int, n_iter, P_, precision,
-                            open_exits=open_exits, s_max=s_real)
+    # true data-lane count: rtab lanes are 128-padded; recover from the
+    # packed layout (nv core lanes + optional ws aks lanes)
+    ntot = nv + (grid.ws if with_aks else 0)
+    kern = _make_ext_kernel(grid, float(sigma), float(idt), nv, ntot,
+                            HL, BL, n_int, n_iter, P_, precision,
+                            open_exits=open_exits, s_max=s_real,
+                            hturb_on=hturb_on, vturb_on=vturb_on,
+                            vturb_aks=vturb_on and with_aks)
 
     fshape = jax.ShapeDtypeStruct((B, PS, 128), jnp.float32)
     ishape = jax.ShapeDtypeStruct((B, PS, 128), jnp.int32)
 
-    def blk(b, par_ref):
+    def blk(b, par_ref, rngk_ref):
         return (b, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,                                # params
+        num_scalar_prefetch=2,                          # params, rngk
         grid=(B,),
         in_specs=[
+            pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
@@ -477,12 +552,16 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
     def rs(a, dt):
         return a.astype(dt).reshape(B, PS, 128)
 
+    if rngk is None:
+        rngk = jnp.zeros(4 * n_int, jnp.int32)
+    if pids is None:
+        pids = jnp.arange(n, dtype=jnp.int32)
     xo, yo, zo, sto, hitl, hitb, oob = pl.pallas_call(
         kern,
         out_shape=[fshape, fshape, fshape, ishape, ishape, ishape, ishape],
         grid_spec=grid_spec, interpret=interpret,
-    )(params, rs(x, jnp.float32), rs(y, jnp.float32),
+    )(params, rngk, rs(x, jnp.float32), rs(y, jnp.float32),
       rs(z, jnp.float32), rs(dob, jnp.float32), rs(status, jnp.int32),
-      rtab, brows)
+      rs(pids, jnp.int32), rtab, brows)
     return (xo.reshape(n), yo.reshape(n), zo.reshape(n), sto.reshape(n),
             hitl.reshape(n), hitb.reshape(n), oob.reshape(n) != 0)

@@ -83,6 +83,54 @@ def _gs_fns(sigma: float):
     return gs, c_off, c_diag
 
 
+def _ds_fn(sigma: float):
+    """Spline basis derivative ds(u, B) at static tension (cf.
+    ltjax.tension._ds): H'(x) = (y1-y0)/h + h*(s0*ds(B1) - s1*ds(B2))."""
+    if sigma == 0.0:
+        def ds(B):
+            return 1.0 / 6.0 - 0.5 * B * B
+        return ds
+    u = float(sigma)
+    inv_u2 = 1.0 / (u * u)
+    den = -math.expm1(-2.0 * u)
+
+    def ds(B):
+        # u*cosh(uB)/sinh(u) = u exp(u(B-1)) (1+exp(-2uB)) / (1-exp(-2u))
+        ratio = u * jnp.exp(u * (B - 1.0)) * (1.0 + jnp.exp(-2.0 * u * B)) / den
+        return (1.0 - ratio) * inv_u2
+    return ds
+
+
+def _eval_spline_deriv(zq, zk, yk, z2, ds):
+    """dH/dz at zq (clamped); same unrolled interval masks as
+    _eval_spline."""
+    K = len(zk)
+    zq = jnp.minimum(jnp.maximum(zq, zk[0]), zk[K - 1])
+    one = jnp.ones_like(zq)
+    zero = jnp.zeros_like(zq)
+    z0 = zero
+    z1 = zero
+    y0 = zero
+    y1 = zero
+    s0 = zero
+    s1 = zero
+    prev = one
+    for k in range(K - 1):
+        nxt = jnp.where(zq >= zk[k + 1], one, zero) if k < K - 2 else zero
+        ind = prev - nxt
+        prev = nxt
+        z0 = z0 + ind * zk[k]
+        z1 = z1 + ind * zk[k + 1]
+        y0 = y0 + ind * yk[k]
+        y1 = y1 + ind * yk[k + 1]
+        s0 = s0 + ind * z2[k]
+        s1 = s1 + ind * z2[k + 1]
+    hh = z1 - z0
+    B2 = (zq - z0) / hh
+    B1 = 1.0 - B2
+    return (y1 - y0) / hh + hh * (s0 * ds(B1) - s1 * ds(B2))
+
+
 def _fit_thomas_multi(zk, yks, c_off, c_diag):
     """Natural tension-spline fit: knot second derivatives z2, for
     several value profiles sharing the SAME knots.
@@ -253,7 +301,8 @@ def make_stage_eval(grid: Grid, sigma: float, nv: int, HL: int,
     vt = grid.vtransform
     blend_dot = blend_dot_fn(precision)
 
-    def stage_eval(par_ref, oy_f, ox_f, win, xv, yv, zv, oob):
+    def stage_eval(par_ref, oy_f, ox_f, win, xv, yv, zv, oob,
+                   extras: bool = False):
         """One find_currents evaluation on a (PS, 128) particle block."""
         # --- locate (uniform-grid arithmetic) ---------------------------
         tx = (xv - par_ref[_IDX_X0]) * par_ref[_IDX_INVDX]
@@ -273,11 +322,11 @@ def make_stage_eval(grid: Grid, sigma: float, nv: int, HL: int,
         wt = make_bilinear_onehot(li, lj, fx, fy, P)
 
         # --- MXU gather+blend -------------------------------------------
-        # only the first nv lanes carry data (the rest are 128-multiple
-        # DMA padding); slicing the operand to the next 64-lane multiple
-        # halves the MXU passes for us=20 (nv=63 -> 64 of 128 lanes)
-        HLc = min(HL, ((nv + 63) // 64) * 64)
-        blended = blend_dot(win[:, :HLc], wt)                 # (HLc, P)
+        # callers pre-slice win to the 64-lane multiple covering the
+        # data lanes (the rest of the 128-lane table width is DMA
+        # padding) — half the MXU passes for us=20 (nv=63 -> 64 lanes)
+        HLc = win.shape[-1]
+        blended = blend_dot(win, wt)                          # (HLc, P)
         bl = blended.reshape(HLc, PS, 128)
 
         zeta = bl[nv - 2]
@@ -316,6 +365,10 @@ def make_stage_eval(grid: Grid, sigma: float, nv: int, HL: int,
         ztb = jnp.maximum(z_r[0] + h, 2.0 * z0m)
         decay = jnp.log(jnp.maximum(zab, z0m) / z0m) / jnp.log(ztb / z0m)
         factor = jnp.where(zab < ztb, jnp.clip(decay, 0.0, 1.0), 1.0)
+        if extras:
+            # blended lanes + w-knots for in-kernel turbulence (Aks
+            # lanes ride at [nv, nv+ws) when the tables pack them)
+            return u * factor, v * factor, w, oob, (bl, z_w)
         return u * factor, v * factor, w, oob
 
     return stage_eval
@@ -328,6 +381,7 @@ def _make_kernel(grid: Grid, sigma: float, idt: float, nv: int, HL: int,
     P_ = p_block
     PS = P_ // 128
     stage_eval = make_stage_eval(grid, sigma, nv, HL, P_, precision)
+    HLc = min(HL, ((nv + 63) // 64) * 64)
 
     def kernel(org_ref, par_ref, x_ref, y_ref, z_ref,
                t1_hbm, t2_hbm, t4_hbm,
@@ -358,10 +412,10 @@ def _make_kernel(grid: Grid, sigma: float, idt: float, nv: int, HL: int,
         half = 0.5 * idt
         d1.wait()
         u1, v1, w1, oob = stage_eval(par_ref, oy_f, ox_f,
-                                     w1s[:].reshape(WC, HL),
+                                     w1s[:].reshape(WC, HL)[:, :HLc],
                                      xv, yv, zv, oob)
         d2.wait()
-        win2 = w2s[:].reshape(WC, HL)
+        win2 = w2s[:].reshape(WC, HL)[:, :HLc]
         u2, v2, w2, oob = stage_eval(
             par_ref, oy_f, ox_f, win2,
             xv + u1 * half, yv + v1 * half, zv + w1 * half, oob)
@@ -370,7 +424,7 @@ def _make_kernel(grid: Grid, sigma: float, idt: float, nv: int, HL: int,
             xv + u2 * half, yv + v2 * half, zv + w2 * half, oob)
         d4.wait()
         u4, v4, w4, oob = stage_eval(
-            par_ref, oy_f, ox_f, w4s[:].reshape(WC, HL),
+            par_ref, oy_f, ox_f, w4s[:].reshape(WC, HL)[:, :HLc],
             xv + u3 * idt, yv + v3 * idt, zv + w3 * idt, oob)
         sixth = idt / 6.0
         dx_ref[0] = sixth * (u1 + 2.0 * u2 + 2.0 * u3 + u4)

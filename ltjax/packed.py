@@ -64,10 +64,12 @@ from .scoord import s_depths
 
 class PackedRecords(NamedTuple):
     """Per-record packed cell tables (built once per external step)."""
-    tab: jax.Array      # (3, C, 64ish) value lanes only (no z2 yet):
-                        #   [u us | v us | w ws | zeta | h | pad]
-    aks: jax.Array      # (3, C, ws) or () when unused
+    tab: jax.Array      # (3, C, L) value lanes only (no z2 yet):
+                        #   [u us | v us | w ws | zeta | h [| aks ws]] —
+                        #   the optional trailing aks lanes feed the
+                        #   in-kernel Visser turbulence path
     times: jax.Array    # (3,)
+    with_aks: bool = False  # static: aks lanes present
 
 
 class StageTable(NamedTuple):
@@ -116,7 +118,9 @@ def build_packed_records(grid: Grid, fields: FieldSet,
                          with_aks: bool = False) -> PackedRecords:
     """Dense per-record packing (jit; grid-sized work).
 
-    Collocates u, v onto rho points and concatenates value lanes.
+    Collocates u, v onto rho points and concatenates value lanes;
+    with_aks appends the ws Aks lanes after h (indices of the nv core
+    lanes are unchanged).
     """
     u = _collocate_u(fields.u)                     # (3, Ny, Nx, us)
     v = _collocate_v(fields.v, grid.ny)            # (3, Ny, Nx, us)
@@ -124,12 +128,13 @@ def build_packed_records(grid: Grid, fields: FieldSet,
     z = fields.zeta[..., None]                     # (3, Ny, Nx, 1)
     h = jnp.broadcast_to(grid.h.astype(u.dtype)[None, ..., None],
                          z.shape)
-    tab = jnp.concatenate([u, v, w, z, h], axis=-1)
+    parts = [u, v, w, z, h]
+    if with_aks:
+        parts.append(fields.aks.astype(u.dtype))
+    tab = jnp.concatenate(parts, axis=-1)
     three, ny, nx, L = tab.shape
     tab = tab.reshape(three, ny * nx, L)
-    aks = (fields.aks.reshape(three, ny * nx, fields.aks.shape[-1])
-           if with_aks else jnp.zeros((), u.dtype))
-    return PackedRecords(tab=tab, aks=aks, times=fields.times)
+    return PackedRecords(tab=tab, times=fields.times, with_aks=with_aks)
 
 
 def _knots(zeta, h, s, cs, hc, vtransform):
@@ -153,8 +158,8 @@ def collapse_stage(grid: Grid, rec: PackedRecords, t, sigma: float
     us, ws = grid.us, grid.ws
     dtype = rec.tab.dtype
     tt = jnp.asarray(t, rec.times.dtype)
-    vals = polintd(rec.tab, rec.times, tt)        # (C, 61+2ish)
     nv = n_value_lanes(us, ws)
+    vals = polintd(rec.tab[..., :nv], rec.times, tt)   # (C, nv)
     zeta = vals[:, nv - 2]
     h = vals[:, nv - 1]
 
@@ -348,14 +353,15 @@ def collapse_stage_values(grid: Grid, rec: PackedRecords, t) -> ValueTable:
     vertical scheme)."""
     us, ws = grid.us, grid.ws
     tt = jnp.asarray(t, rec.times.dtype)
-    vals = polintd(rec.tab, rec.times, tt)        # (C, nv)
+    vals = polintd(rec.tab, rec.times, tt)        # (C, ntot)
     nv = n_value_lanes(us, ws)
+    ntot = vals.shape[-1]
     # pad to a 128-lane multiple: HBM minor-dim tiling requirement of
     # the fused kernel's window DMA (kernels/gather_interp)
-    HL = ((nv + 127) // 128) * 128
+    HL = ((ntot + 127) // 128) * 128
     C = vals.shape[0]
     vals = jnp.concatenate(
-        [vals, jnp.zeros((C, HL - nv), vals.dtype)], axis=-1)
+        [vals, jnp.zeros((C, HL - ntot), vals.dtype)], axis=-1)
     zeta = vals[:, nv - 2]
     h = vals[:, nv - 1]
     zh = jnp.stack([zeta, h, jnp.zeros_like(zeta), jnp.zeros_like(zeta)],
@@ -490,6 +496,7 @@ def find_currents_records(grid: Grid, rft: RecordsFlat, x, y, z, t,
     nx = grid.nx
     c00 = j.astype(jnp.int32) * nx + i.astype(jnp.int32)
     rows = rft.rows
+    nt = rows.shape[-1] // 3          # record stride (nv [+ ws aks])
     r00 = rows[c00]
     r01 = rows[c00 + 1]
     r10 = rows[c00 + nx]
@@ -502,7 +509,7 @@ def find_currents_records(grid: Grid, rft: RecordsFlat, x, y, z, t,
     l2 = jnp.asarray(l2, cd)
 
     def collapse(r):
-        return r[:, :nv] * l0 + r[:, nv:2 * nv] * l1 + r[:, 2 * nv:] * l2
+        return r[:, :nt] * l0 + r[:, nt:2 * nt] * l1 + r[:, 2 * nt:] * l2
 
     v00 = collapse(r00)
     v01 = collapse(r01)
@@ -564,6 +571,7 @@ def zeta_h_records(grid: Grid, rft: RecordsFlat, x, y, t):
     nx = grid.nx
     c00 = j.astype(jnp.int32) * nx + i.astype(jnp.int32)
     rows = rft.rows
+    nt = rows.shape[-1] // 3
     tdt = rft.times.dtype
     l0, l1, l2 = _polintd_coefs(rft.times, jnp.asarray(t, tdt))
     cd = rows.dtype
@@ -572,8 +580,10 @@ def zeta_h_records(grid: Grid, rft: RecordsFlat, x, y, t):
     l2 = jnp.asarray(l2, cd)
 
     def zh(r):
-        zc = r[:, nv - 2] * l0 + r[:, nv + nv - 2] * l1 + r[:, 2 * nv + nv - 2] * l2
-        hc_ = r[:, nv - 1] * l0 + r[:, nv + nv - 1] * l1 + r[:, 2 * nv + nv - 1] * l2
+        zc = (r[:, nv - 2] * l0 + r[:, nt + nv - 2] * l1
+              + r[:, 2 * nt + nv - 2] * l2)
+        hc_ = (r[:, nv - 1] * l0 + r[:, nt + nv - 1] * l1
+               + r[:, 2 * nt + nv - 1] * l2)
         return zc, hc_
 
     z00, h00 = zh(rows[c00])
@@ -595,10 +605,9 @@ def build_record_tables(grid: Grid, rec: PackedRecords) -> jax.Array:
     collapses its VMEM windows per stage), lanes padded to a
     128-multiple (window-DMA minor-dim tiling requirement)."""
     us, ws = grid.us, grid.ws
-    nv = n_value_lanes(us, ws)
-    HL = ((nv + 127) // 128) * 128
-    tab = rec.tab.astype(jnp.float32)                 # (3, C, nv)
+    tab = rec.tab.astype(jnp.float32)                 # (3, C, ntot)
     three, C, L = tab.shape
+    HL = ((L + 127) // 128) * 128
     pad = jnp.zeros((three, C, HL - L), jnp.float32)
     return jnp.concatenate([tab, pad], axis=-1).reshape(
         three, grid.ny, grid.nx, HL)

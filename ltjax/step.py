@@ -276,10 +276,11 @@ def make_external_step(ctx: StepContext, cfg: Config, base_key):
     use_kernel = (use_fast and cfg.kernel_interp and ctx.grid.uniform
                   and cfg.dtype_pos == "float32"
                   and jax.default_backend() == "tpu")
-    # the whole-external-step megakernel covers the advection(+boundary)
-    # path; runs with turbulence/behavior/settlement/sampling drop to
-    # the per-step kernel (advection fused, the rest XLA)
-    use_mega = (use_kernel and not cfg.HTurbOn and not cfg.VTurbOn
+    # the whole-external-step megakernel covers advection + boundary +
+    # turbulence (in-kernel Threefry streams identical to ltjax.rng);
+    # runs with behavior/settlement/sampling drop to the per-step
+    # kernel (advection fused, the rest XLA)
+    use_mega = (use_kernel
                 and cfg.Behavior == 0 and not cfg.mortality
                 and not cfg.settlementon and not cfg.SaltTempOn)
 
@@ -289,9 +290,12 @@ def make_external_step(ctx: StepContext, cfg: Config, base_key):
             ctx.bounds, ctx.grid.ny, ctx.grid.nx))
         s_max = (int(ctx.bounds.cell_rows.shape[1]) - 8) // 8
 
+    mega_aks = use_mega and cfg.VTurbOn and cfg.readAks
+
     @jax.jit
     def ext_step(p: st.Particles, fields: FieldSet, t0, ext_idx):
-        prec = (pk.build_packed_records(ctx.grid, fields)
+        prec = (pk.build_packed_records(ctx.grid, fields,
+                                        with_aks=mega_aks)
                 if use_fast else None)
 
         if use_kernel:
@@ -339,7 +343,13 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
 
     rtab = pk.build_record_tables(grid, prec)
     params = es.params_array_ext(grid, ctx.bounds, cfg.z0, t0,
-                                 fields.times, idt, n_int)
+                                 fields.times, idt, n_int,
+                                 const_hturb=(cfg.ConstantHTurb
+                                              if cfg.HTurbOn else 0.0),
+                                 const_vturb=(cfg.ConstantVTurb
+                                              if cfg.VTurbOn else 0.0))
+    rngk = (es.rng_keys_array(base_key, ext_idx, n_int)
+            if (cfg.HTurbOn or cfg.VTurbOn) else None)
 
     def padded(a, fill=None):
         if pad == 0:
@@ -357,7 +367,10 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
         cfg.tension_sigma, n_int, idt,
         n_iter=cfg.reflect_iters, p_block=pb, s_max=s_max,
         precision=_precision(cfg),
-        open_exits=cfg.OpenOceanBoundary)
+        open_exits=cfg.OpenOceanBoundary,
+        pids=padded(p.pid, -1), rngk=rngk,
+        hturb_on=cfg.HTurbOn, vturb_on=cfg.VTurbOn,
+        with_aks=prec.with_aks)
     xo, yo, zo = xo[:n], yo[:n], zo[:n]
     sto, hitl, hitb, oob = sto[:n], hitl[:n], hitb[:n], oob[:n]
 

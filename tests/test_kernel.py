@@ -130,6 +130,87 @@ def test_ext_step_fused_interpret_matches_collapsed_scan():
     assert np.array_equal(np.asarray(sto)[ok], np.asarray(pp.status)[ok])
 
 
+def test_ext_step_fused_turbulence_matches_xla():
+    """Megakernel in-kernel HTurb + Visser VTurb (interpret) vs the XLA
+    records-mode scan: identical Threefry streams + commuting profile
+    interpolation => per-particle agreement to f32 round-off."""
+    import jax.random as jr
+    from ltjax import state as st
+    from ltjax import spatial
+    from ltjax.config import Config
+    from ltjax.kernels import ext_step as es
+    from ltjax.physics import boundary as bd
+    from ltjax.step import StepContext, internal_step
+
+    dtype = jnp.float32
+    us = 6
+    c = synth.make_solid_body_case(nx=41, ny=41, us=us, lx=100e3, ly=100e3,
+                                   h0=50.0, omega=5e-5, dtype=dtype)
+    fs = synth.fieldset_for(c, t_center=900.0, dt=1800.0, dtype=dtype)
+    # nonzero parabolic Aks(z) so the Visser terms are exercised
+    ws = us + 1
+    z_w = 50.0 * np.asarray(c.grid.s_w)
+    K = 1e-4 + 4e-3 * (1.0 - (2.0 * z_w / 50.0 + 1.0) ** 2)
+    aks = np.broadcast_to(K[None, :, None, None],
+                          (3, ws, 41, 41)).astype(np.float32)
+    # FieldSet stores K-last layout (3, Ny, Nx, ws)
+    fs = fs._replace(aks=jnp.asarray(np.moveaxis(aks, 1, -1)))
+    grid = c.grid
+    bounds = bd.build_boundaries(np.asarray(grid.mask_rho),
+                                 np.asarray(grid.x_rho),
+                                 np.asarray(grid.y_rho))
+    ctx = StepContext(grid=grid, bounds=bounds, polys=None, holes=None)
+    cfg = Config(numpar=256, dt=1800, idt=450, us=us, ws=ws,
+                 OpenOceanBoundary=True, dtype_pos="float32",
+                 reflect_iters=2, HTurbOn=True, ConstantHTurb=0.5,
+                 VTurbOn=True, readAks=True)
+    n_int = cfg.internal_steps
+    base_key = jr.key(7)
+
+    rng_ = np.random.default_rng(9)
+    n = 256
+    x = jnp.asarray(rng_.uniform(40e3, 52e3, n), dtype)
+    y = jnp.asarray(rng_.uniform(40e3, 52e3, n), dtype)
+    z = jnp.asarray(rng_.uniform(-40.0, -5.0, n), dtype)
+    p = st.init_particles(np.asarray(x), np.asarray(y), np.asarray(z),
+                          dtype=dtype)
+    p = p._replace(status=jnp.full(n, st.ACTIVE, jnp.int32))
+    i, _ = locate(grid.x_rho, p.x, grid.uniform)
+    j, _ = locate(grid.y_rho, p.y, grid.uniform)
+    p, _ = spatial.sort_by_cell(p, i, j)
+
+    prec = pk.build_packed_records(grid, fs, with_aks=True)
+    rtab = pk.build_record_tables(grid, prec)
+    brows = jnp.asarray(es.boundary_rows_table(bounds, grid.ny, grid.nx))
+    s_max = (int(bounds.cell_rows.shape[1]) - 8) // 8
+    params = es.params_array_ext(grid, bounds, cfg.z0, 0.0, fs.times,
+                                 float(cfg.idt), n_int,
+                                 const_hturb=cfg.ConstantHTurb)
+    rngk = es.rng_keys_array(base_key, 0, n_int)
+    xo, yo, zo, sto, hitl, hitb, oob = es.ext_step_fused(
+        grid, rtab, brows, params, p.x, p.y, p.z, p.dob, p.status,
+        cfg.tension_sigma, n_int, float(cfg.idt),
+        n_iter=cfg.reflect_iters, p_block=256, s_max=s_max,
+        pids=p.pid, rngk=rngk, hturb_on=True, vturb_on=True,
+        with_aks=True, open_exits=True, interpret=True)
+
+    rft = pk.build_records_flat(grid, prec)
+    pp = p
+    for ii in range(n_int):
+        pp = internal_step(ctx, cfg, base_key, pp, fs, ii * float(cfg.idt),
+                           ii, rft, mode="records")
+
+    ok = ~np.asarray(oob)
+    assert ok.sum() > 0.9 * n
+    np.testing.assert_allclose(np.asarray(xo)[ok], np.asarray(pp.x)[ok],
+                               rtol=0, atol=1.0)
+    np.testing.assert_allclose(np.asarray(yo)[ok], np.asarray(pp.y)[ok],
+                               rtol=0, atol=1.0)
+    np.testing.assert_allclose(np.asarray(zo)[ok], np.asarray(pp.z)[ok],
+                               rtol=0, atol=0.05)
+    assert np.array_equal(np.asarray(sto)[ok], np.asarray(pp.status)[ok])
+
+
 def test_block_origins_centered(case):
     grid, vtabs, x, y, z = case
     org = gi.block_origins(grid, x, y, p_block=256)
