@@ -241,14 +241,17 @@ class RomsSeries:
             raise ValueError("history file must contain at least u or v "
                              "when readU/readV are off, set constU/constV "
                              "and provide a grid-shaped template")
-        kshape = ref3.shape            # (us, Ny, Nx') on u or v grid
+        # rho-grid shape from the staggered u/v shape actually read
+        if u is not None:
+            rho_shape = (ref3.shape[1], ref3.shape[2] + 1)
+        else:
+            rho_shape = (ref3.shape[1] + 1, ref3.shape[2])
+        ws_shape = (ref3.shape[0] + 1,) + rho_shape
         if zeta is None:
-            out["zeta"] = np.full(kshape[1:], cfg.constZeta, np.float32)
+            out["zeta"] = np.full(rho_shape, cfg.constZeta, np.float32)
         if w is None:
-            ws_shape = (kshape[0] + 1,) + kshape[1:]
             out["w"] = np.full(ws_shape, cfg.constW, np.float32)
         if aks is None:
-            ws_shape = (kshape[0] + 1,) + kshape[1:]
             out["aks"] = np.full(ws_shape, cfg.constAks, np.float32)
         if cfg.SaltTempOn:
             out["salt"] = self._read_field("salt", rec, cfg.readSalt,

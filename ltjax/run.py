@@ -130,6 +130,14 @@ def run(cfg: Config, resume: bool = False,
     series = RomsSeries(cfg, paths=series_paths)
     global_rec = 0
 
+    if cfg.WriteParfile and cfg.parfile:
+        # reference parity: echo the initial-particle file to the output
+        # directory (LTRANS.data `WriteParfile` [conf: M])
+        import shutil
+        os.makedirs(cfg.outpath, exist_ok=True)
+        shutil.copyfile(cfg.parfile,
+                        os.path.join(cfg.outpath, "parfile_echo.csv"))
+
     start_ext = 0
     resumed_extra = None
     if resume:
