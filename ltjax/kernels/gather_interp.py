@@ -52,11 +52,11 @@ WY = 16            # window cells (eta)
 WX = 16            # window cells (xi)
 WC = WY * WX       # window cells, flattened
 
-# params SMEM layout: 16 head scalars then interleaved (s, Cs) pairs.
-# Slots 6..15 are reserved for the external-step kernel's extra head
+# params SMEM layout: 32 head scalars then interleaved (s, Cs) pairs.
+# Slots 6..31 are reserved for the external-step kernel's extra head
 # scalars (ltjax.kernels.ext_step) so both kernels share one layout.
 _IDX_X0, _IDX_INVDX, _IDX_Y0, _IDX_INVDY, _IDX_HC, _IDX_Z0 = range(6)
-_IDX_SC0 = 16      # s_rho/Cs_r pairs, then s_w/Cs_w pairs
+_IDX_SC0 = 32      # s_rho/Cs_r pairs, then s_w/Cs_w pairs
 
 
 def _gs_fns(sigma: float):
@@ -366,9 +366,9 @@ def make_stage_eval(grid: Grid, sigma: float, nv: int, HL: int,
         decay = jnp.log(jnp.maximum(zab, z0m) / z0m) / jnp.log(ztb / z0m)
         factor = jnp.where(zab < ztb, jnp.clip(decay, 0.0, 1.0), 1.0)
         if extras:
-            # blended lanes + w-knots for in-kernel turbulence (Aks
-            # lanes ride at [nv, nv+ws) when the tables pack them)
-            return u * factor, v * factor, w, oob, (bl, z_w)
+            # blended lanes + knots for in-kernel turbulence/behavior
+            # (Aks/salt lanes ride beyond nv when the tables pack them)
+            return u * factor, v * factor, w, oob, (bl, z_r, z_w)
         return u * factor, v * factor, w, oob
 
     return stage_eval
