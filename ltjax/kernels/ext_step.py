@@ -347,7 +347,7 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
 
             w1 = win_at(0)
             if vturb_aks:
-                u1, v1, ww1, oob1, (bl1, z_w1) = stage_eval(
+                u1, v1, ww1, oob1, (bl1, _z_r1, z_w1) = stage_eval(
                     par_ref, oy_f, ox_f, w1, xv, yv, zv, oob, extras=True)
             else:
                 u1, v1, ww1, oob1 = stage_eval(par_ref, oy_f, ox_f, w1,
