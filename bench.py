@@ -30,12 +30,16 @@ from ltjax import synth
 from ltjax import state as st
 from ltjax.config import Config
 from ltjax.physics import boundary as bd
-from ltjax.step import StepContext, make_external_step
+from ltjax.step import (StepContext, make_external_step,
+                        make_fused_external_steps)
 
 ROOFLINE = 2.0e8  # conservative particle-steps/s/chip bound (BASELINE.md)
+N_FUSE = 4        # external steps per compiled call (production default:
+                  # Config.ext_fuse; amortizes dispatch + Hilbert sort)
 
 
-def build(numpar=1_000_000, nx=200, ny=200, us=20, dt=3600, idt=120):
+def build(numpar=1_000_000, nx=200, ny=200, us=20, dt=3600, idt=120,
+          n_records=3):
     dtype = jnp.float32
     cfg = Config(numpar=numpar, dt=dt, idt=idt, us=us, ws=us + 1,
                  HTurbOn=False, VTurbOn=False, Behavior=0,
@@ -49,8 +53,8 @@ def build(numpar=1_000_000, nx=200, ny=200, us=20, dt=3600, idt=120):
                                  np.asarray(grid.x_rho),
                                  np.asarray(grid.y_rho))
     ctx = StepContext(grid=grid, bounds=bounds, polys=None, holes=None)
-    fs = synth.fieldset_for(case, t_center=float(dt) / 2, dt=float(dt),
-                            dtype=jnp.float32)
+    fs = synth.fieldset_window(case, -float(dt) / 2, float(dt), n_records,
+                               dtype=jnp.float32)
     rng = np.random.default_rng(0)
     p = st.init_particles(rng.uniform(40e3, 160e3, numpar),
                           rng.uniform(40e3, 160e3, numpar),
@@ -61,30 +65,32 @@ def build(numpar=1_000_000, nx=200, ny=200, us=20, dt=3600, idt=120):
 
 
 def main():
-    cfg, ctx, fs, p = build()
-    step = make_external_step(ctx, cfg, jr.key(0))
-    n_int = cfg.internal_steps  # 30 internal steps per call
+    # production path: N_FUSE external steps per compiled call over an
+    # (N_FUSE+2)-record field window (ltjax.step.make_fused_external_steps
+    # — the same call run.py makes when prefetch keeps records resident)
+    cfg, ctx, fsR, p = build(n_records=N_FUSE + 2)
+    n_int = cfg.internal_steps  # 30 internal steps per external step
+    step = make_fused_external_steps(ctx, cfg, jr.key(0), N_FUSE)
 
     # warm-up / compile
-    p = jax.block_until_ready(step(p, fs, 0.0, 0))
+    p = jax.block_until_ready(step(p, fsR, 0.0, 0))
 
     reps = 5
-    calls = 4  # 4 x 30 = 120 internal steps per rep
+    steps_per_rep = n_int * N_FUSE  # 120 internal steps per rep
     rates = []
     for r in range(reps):
         t0 = time.perf_counter()
-        pp = p
-        for c in range(calls):
-            pp = step(pp, fs, 0.0, c)
+        pp = step(p, fsR, 0.0, 0)
         jax.block_until_ready(pp)
         dt_s = time.perf_counter() - t0
-        rates.append(cfg.numpar * n_int * calls / dt_s)
+        rates.append(cfg.numpar * steps_per_rep / dt_s)
     value = float(np.median(rates))
     print(json.dumps({
         "metric": "particle-steps/s/chip@1M",
         "value": value,
         "unit": "particle-steps/s",
         "vs_baseline": value / ROOFLINE,
+        "roofline": ROOFLINE,
     }))
 
 

@@ -156,6 +156,19 @@ class Config:
                                   #   par with f32 roundoff accumulation
                                   #   -- the default), "default" = one
                                   #   bf16 pass (~4e-3 rel; fastest)
+    kernel_wy: int = 16           # fused-kernel VMEM window cells (eta)
+    kernel_wx: int = 16           # fused-kernel VMEM window cells (xi);
+                                  #   wy*wx <= 128 halves the one-hot
+                                  #   blend matmul passes vs 16x16
+    kernel_fast_math: bool = True # kernel divides via approx-reciprocal
+                                  #   + 2 Newton steps (~1-2 ulp of an
+                                  #   exact f32 divide)
+    ext_fuse: int = 4             # external steps fused per compiled
+                                  #   call on the megakernel path (the
+                                  #   field window holds ext_fuse + 2
+                                  #   records); 1 = classic triple buffer
+    oob_frac: int = 64            # exact-recompute capacity for window
+                                  #   misses = numpar // oob_frac
     reflect_iters: int = 4        # fixed boundary-reflection iteration count
     mesh_particles: int = 1       # mesh axis size: particle data-parallel
     mesh_tiles: int = 1           # mesh axis size: domain tiles (eta strips)

@@ -66,6 +66,36 @@ def make_fieldset(zeta, u, v, w, aks, times, salt=None, temp=None,
     )
 
 
+def stack_records(recs, t_base, dtype=jnp.float32,
+                  with_salt_temp: bool = False) -> FieldSet:
+    """Build an R-record FieldSet window from record dicts.
+
+    ``recs``: list of record dicts as produced by
+    ltjax.io.roms.RomsSeries.next_record (ROMS ([K,] eta, xi) layout,
+    host numpy or device arrays — the prefetcher device_puts them).
+    This is the (n_fuse + 2)-record window consumed by
+    ltjax.step.make_fused_external_steps; R = 3 reproduces the classic
+    triple buffer (``initHydro``/``updateHydro``, SURVEY.md SS3.3).
+    """
+    def pile(key, klast=True):
+        xs = jnp.stack([jnp.asarray(r[key], dtype) for r in recs])
+        return jnp.moveaxis(xs, 1, -1) if klast else xs
+
+    zeta = pile("zeta", klast=False)
+    u = pile("u")
+    w = pile("w")
+    rho_shape = w.shape[:3] + u.shape[-1:]
+    salt = (pile("salt") if with_salt_temp
+            else jnp.zeros(rho_shape, dtype))
+    temp = (pile("temp") if with_salt_temp
+            else jnp.zeros(rho_shape, dtype))
+    tdt = jnp.float64 if dtype == jnp.float64 else jnp.float32
+    times = jnp.asarray([float(r["time"]) - float(t_base) for r in recs],
+                        tdt)
+    return FieldSet(zeta=zeta, u=u, v=pile("v"), w=w, aks=pile("aks"),
+                    salt=salt, temp=temp, times=times)
+
+
 def rotate(fs: FieldSet, zeta, u, v, w, aks, t_new, salt=None, temp=None
            ) -> FieldSet:
     """Shift b<-c, c<-f and install a new forward record (updateHydro).

@@ -155,12 +155,16 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                      ntot: int, HL: int, BL: int, n_int: int, n_iter: int,
                      p_block: int, precision, open_exits: bool,
                      s_max: int, hturb_on: bool, vturb_on: bool,
-                     vturb_aks: bool):
+                     vturb_aks: bool, window=(WY, WX),
+                     fast_math: bool = False):
     P = p_block
     PS = P // 128
+    wy, wx = window
+    wc = wy * wx
     ws = grid.ws
     nx, ny = grid.nx, grid.ny
-    stage_eval = make_stage_eval(grid, sigma, nv, HL, P, precision)
+    stage_eval = make_stage_eval(grid, sigma, nv, HL, P, precision,
+                                 window=window, fast_math=fast_math)
     coef0 = _head_len(grid.us, grid.ws)
     gs, c_off, c_diag = _gs_fns(sigma)
     ds = _ds_fn(sigma)
@@ -185,14 +189,14 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
             jb = jnp.clip(jnp.floor(tby), 0.0, float(ny - 1))
             lib = ib - ox_f
             ljb = jb - oy_f
-            bad = ((lib < 0.0) | (lib > float(WX - 1))
-                   | (ljb < 0.0) | (ljb > float(WY - 1)))
+            bad = ((lib < 0.0) | (lib > float(wx - 1))
+                   | (ljb < 0.0) | (ljb > float(wy - 1)))
             oob = oob | (bad & act)
-            lib = jnp.clip(lib, 0.0, float(WX - 1))
-            ljb = jnp.clip(ljb, 0.0, float(WY - 1))
-            oh = make_cell_onehot(lib, ljb, P)               # (WC, P)
+            lib = jnp.clip(lib, 0.0, float(wx - 1))
+            ljb = jnp.clip(ljb, 0.0, float(wy - 1))
+            oh = make_cell_onehot(lib, ljb, P, wy, wx)       # (wc, P)
             rows = jax.lax.dot_general(
-                wbd[:].reshape(WC, BL), oh,
+                wbd[:].reshape(wc, BL), oh,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=row_precision)                      # (BL, P)
@@ -257,12 +261,12 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
         tbx = (x1 - par_ref[_IDX_BX0]) * par_ref[_IDX_INVBDX]
         tby = (y1 - par_ref[_IDX_BY0]) * par_ref[_IDX_INVBDY]
         lib = jnp.clip(jnp.clip(jnp.floor(tbx), 0.0, float(nx - 1)) - ox_f,
-                       0.0, float(WX - 1))
+                       0.0, float(wx - 1))
         ljb = jnp.clip(jnp.clip(jnp.floor(tby), 0.0, float(ny - 1)) - oy_f,
-                       0.0, float(WY - 1))
-        oh = make_cell_onehot(lib, ljb, P)
+                       0.0, float(wy - 1))
+        oh = make_cell_onehot(lib, ljb, P, wy, wx)
         rows = jax.lax.dot_general(
-            wbd[:].reshape(WC, BL), oh,
+            wbd[:].reshape(wc, BL), oh,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=row_precision)
@@ -282,10 +286,10 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
 
         def dma_windows(oy, ox):
             cps = [pltpu.make_async_copy(
-                tab_hbm.at[k, pl.ds(oy, WY), pl.ds(ox, WX), :],
+                tab_hbm.at[k, pl.ds(oy, wy), pl.ds(ox, wx), :],
                 [wb, wc_, wf][k], sems.at[k]) for k in range(3)]
             cps.append(pltpu.make_async_copy(
-                brows_hbm.at[pl.ds(oy, WY), pl.ds(ox, WX), :],
+                brows_hbm.at[pl.ds(oy, wy), pl.ds(ox, wx), :],
                 wbd, sems.at[3]))
             for c in cps:
                 c.start()
@@ -312,10 +316,10 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
             ty = (yv - par_ref[_IDX_Y0]) * par_ref[_IDX_INVDY]
             im = jnp.sum(jnp.clip(tx, 0.0, float(nx - 1)) * w) / cnt
             jm = jnp.sum(jnp.clip(ty, 0.0, float(ny - 1)) * w) / cnt
-            ox = jnp.clip(jnp.floor(im).astype(jnp.int32) - WX // 2, 0,
-                          max(nx - WX, 0))
-            oy = jnp.clip(jnp.floor(jm).astype(jnp.int32) - WY // 2, 0,
-                          max(ny - WY, 0))
+            ox = jnp.clip(jnp.floor(im).astype(jnp.int32) - wx // 2, 0,
+                          max(nx - wx, 0))
+            oy = jnp.clip(jnp.floor(jm).astype(jnp.int32) - wy // 2, 0,
+                          max(ny - wy, 0))
             return oy, ox
 
         def body(i, carry):
@@ -341,9 +345,9 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
 
             def win_at(stage):
                 c = coef0 + 9 * i + 3 * stage
-                return (par_ref[c] * wb[:].reshape(WC, HL)[:, :HLc]
-                        + par_ref[c + 1] * wc_[:].reshape(WC, HL)[:, :HLc]
-                        + par_ref[c + 2] * wf[:].reshape(WC, HL)[:, :HLc])
+                return (par_ref[c] * wb[:].reshape(wc, HL)[:, :HLc]
+                        + par_ref[c + 1] * wc_[:].reshape(wc, HL)[:, :HLc]
+                        + par_ref[c + 2] * wf[:].reshape(wc, HL)[:, :HLc])
 
             w1 = win_at(0)
             if vturb_aks:
@@ -436,9 +440,9 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
             jj2 = jnp.clip(jnp.floor(ty), 0.0, float(ny - 2))
             fx = jnp.clip(tx - ii2, 0.0, 1.0)
             fy = jnp.clip(ty - jj2, 0.0, 1.0)
-            li = jnp.clip(ii2 - ox_f, 0.0, float(WX - 2))
-            lj = jnp.clip(jj2 - oy_f, 0.0, float(WY - 2))
-            wt = make_bilinear_onehot(li, lj, fx, fy, P)
+            li = jnp.clip(ii2 - ox_f, 0.0, float(wx - 2))
+            lj = jnp.clip(jj2 - oy_f, 0.0, float(wy - 2))
+            wt = make_bilinear_onehot(li, lj, fx, fy, P, wy, wx)
             zh = zh_dot(w4[:, nv - 2:nv], wt)             # (2, P)
             zhr = zh.reshape(2, PS, 128)
             zeta_p = zhr[0]
@@ -482,6 +486,7 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
                    pids=None, rngk=None,
                    hturb_on: bool = False, vturb_on: bool = False,
                    with_aks: bool = False,
+                   window=(WY, WX), fast_math: bool = False,
                    interpret: bool = False):
     """Run one full external step in-kernel.
 
@@ -513,11 +518,13 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
     # true data-lane count: rtab lanes are 128-padded; recover from the
     # packed layout (nv core lanes + optional ws aks lanes)
     ntot = nv + (grid.ws if with_aks else 0)
+    wy, wx = window
     kern = _make_ext_kernel(grid, float(sigma), float(idt), nv, ntot,
                             HL, BL, n_int, n_iter, P_, precision,
                             open_exits=open_exits, s_max=s_real,
                             hturb_on=hturb_on, vturb_on=vturb_on,
-                            vturb_aks=vturb_on and with_aks)
+                            vturb_aks=vturb_on and with_aks,
+                            window=window, fast_math=fast_math)
 
     fshape = jax.ShapeDtypeStruct((B, PS, 128), jnp.float32)
     ishape = jax.ShapeDtypeStruct((B, PS, 128), jnp.int32)
@@ -541,10 +548,10 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
         out_specs=[pl.BlockSpec((1, PS, 128), blk,
                                 memory_space=pltpu.VMEM)] * 7,
         scratch_shapes=[
-            pltpu.VMEM((WY, WX, HL), jnp.float32),
-            pltpu.VMEM((WY, WX, HL), jnp.float32),
-            pltpu.VMEM((WY, WX, HL), jnp.float32),
-            pltpu.VMEM((WY, WX, BL), jnp.float32),
+            pltpu.VMEM((wy, wx, HL), jnp.float32),
+            pltpu.VMEM((wy, wx, HL), jnp.float32),
+            pltpu.VMEM((wy, wx, HL), jnp.float32),
+            pltpu.VMEM((wy, wx, BL), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )

@@ -48,9 +48,33 @@ from .. import packed as pk
 from ..grid import Grid, locate
 
 P = 2048           # particles per block (default; callers may override)
-WY = 16            # window cells (eta)
+WY = 16            # window cells (eta)  (default; callers may override)
 WX = 16            # window cells (xi)
 WC = WY * WX       # window cells, flattened
+
+
+def _recip_fn(fast_math: bool):
+    """Division helper for kernel bodies.
+
+    fast_math=True uses the VPU's approximate-reciprocal instruction
+    plus two Newton iterations — ~1-2 ulp of an exact f32 divide (each
+    Newton step squares the relative error of the ~8-bit seed) at a
+    fraction of the divide latency.  The hot spline path spends ~40
+    divides per particle-stage (interval widths, Thomas factorization,
+    knot depths), which makes this one of the larger VPU savings in the
+    fused kernels.  Exact divides remain the default for the XLA
+    mirror paths so the oob patch stays the reference arbiter.
+    """
+    if not fast_math:
+        def recip(v):
+            return 1.0 / v
+        return recip
+
+    def recip(v):
+        r = pl.reciprocal(v, approx=True)
+        r = r * (2.0 - v * r)
+        return r * (2.0 - v * r)
+    return recip
 
 # params SMEM layout: 32 head scalars then interleaved (s, Cs) pairs.
 # Slots 6..31 are reserved for the external-step kernel's extra head
@@ -131,7 +155,7 @@ def _eval_spline_deriv(zq, zk, yk, z2, ds):
     return (y1 - y0) / hh + hh * (s0 * ds(B1) - s1 * ds(B2))
 
 
-def _fit_thomas_multi(zk, yks, c_off, c_diag):
+def _fit_thomas_multi(zk, yks, c_off, c_diag, recip=None):
     """Natural tension-spline fit: knot second derivatives z2, for
     several value profiles sharing the SAME knots.
 
@@ -142,16 +166,18 @@ def _fit_thomas_multi(zk, yks, c_off, c_diag):
     factorization (cp, inv) is computed once and shared across the
     right-hand sides — u and v live on the same rho knots.
     """
+    if recip is None:
+        recip = _recip_fn(False)
     K = len(zk)
     h = [zk[k + 1] - zk[k] for k in range(K - 1)]
-    inv_h = [1.0 / hh for hh in h]
+    inv_h = [recip(hh) for hh in h]
     off = [hh * c_off for hh in h]
     dia = [hh * c_diag for hh in h]
     zero = jnp.zeros_like(zk[0])
     cp = [zero] * K
     invs = [zero] * K
     for i in range(1, K - 1):
-        invs[i] = 1.0 / ((dia[i - 1] + dia[i]) - off[i - 1] * cp[i - 1])
+        invs[i] = recip((dia[i - 1] + dia[i]) - off[i - 1] * cp[i - 1])
         cp[i] = off[i] * invs[i]
     outs = []
     for yk in yks:
@@ -168,12 +194,12 @@ def _fit_thomas_multi(zk, yks, c_off, c_diag):
     return outs
 
 
-def _fit_thomas(zk, yk, c_off, c_diag):
+def _fit_thomas(zk, yk, c_off, c_diag, recip=None):
     """Single-profile wrapper around _fit_thomas_multi."""
-    return _fit_thomas_multi(zk, [yk], c_off, c_diag)[0]
+    return _fit_thomas_multi(zk, [yk], c_off, c_diag, recip=recip)[0]
 
 
-def _eval_spline_multi(zq, zk, yks, z2s, gs):
+def _eval_spline_multi(zq, zk, yks, z2s, gs, recip=None):
     """Evaluate several splines sharing knots zk at the same zq
     (clamped to the knot range).
 
@@ -182,6 +208,8 @@ def _eval_spline_multi(zq, zk, yks, z2s, gs):
     VPU; the interval masks, basis fractions, and gs() evaluations are
     shared across profiles (u and v live on the same rho knots).
     """
+    if recip is None:
+        recip = _recip_fn(False)
     K = len(zk)
     nprof = len(yks)
     zq = jnp.minimum(jnp.maximum(zq, zk[0]), zk[K - 1])
@@ -206,7 +234,7 @@ def _eval_spline_multi(zq, zk, yks, z2s, gs):
             s0[p] = s0[p] + ind * z2s[p][k]
             s1[p] = s1[p] + ind * z2s[p][k + 1]
     hh = z1 - z0
-    B2 = (zq - z0) / hh
+    B2 = (zq - z0) * recip(hh)
     B1 = 1.0 - B2
     g1 = gs(B1)
     g2 = gs(B2)
@@ -215,40 +243,41 @@ def _eval_spline_multi(zq, zk, yks, z2s, gs):
             for p in range(nprof)]
 
 
-def _eval_spline(zq, zk, yk, z2, gs):
+def _eval_spline(zq, zk, yk, z2, gs, recip=None):
     """Single-profile wrapper around _eval_spline_multi."""
-    return _eval_spline_multi(zq, zk, [yk], [z2], gs)[0]
+    return _eval_spline_multi(zq, zk, [yk], [z2], gs, recip=recip)[0]
 
 
-def make_bilinear_onehot(li, lj, fx, fy, P: int):
-    """Bilinear one-hot weight matrix W (WC, P) from window-local cell
-    indices + fractions (all (PS, 128) f32)."""
+def make_bilinear_onehot(li, lj, fx, fy, P: int, wy: int = WY,
+                         wx: int = WX):
+    """Bilinear one-hot weight matrix W (wy*wx, P) from window-local
+    cell indices + fractions (all (PS, 128) f32)."""
     li_l = li.reshape(1, P)
     lj_l = lj.reshape(1, P)
     fx_l = fx.reshape(1, P)
     fy_l = fy.reshape(1, P)
-    rr = jax.lax.broadcasted_iota(jnp.int32, (WY, P), 0).astype(jnp.float32)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (WX, P), 0).astype(jnp.float32)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (wy, P), 0).astype(jnp.float32)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (wx, P), 0).astype(jnp.float32)
     roh = (jnp.where(rr == lj_l, 1.0 - fy_l, 0.0)
-           + jnp.where(rr == lj_l + 1.0, fy_l, 0.0))      # (WY, P)
+           + jnp.where(rr == lj_l + 1.0, fy_l, 0.0))      # (wy, P)
     coh = (jnp.where(cc == li_l, 1.0 - fx_l, 0.0)
-           + jnp.where(cc == li_l + 1.0, fx_l, 0.0))      # (WX, P)
-    # row-major window flattening: wt[rj*WX + ci] = roh[rj] * coh[ci]
+           + jnp.where(cc == li_l + 1.0, fx_l, 0.0))      # (wx, P)
+    # row-major window flattening: wt[rj*wx + ci] = roh[rj] * coh[ci]
     # (pltpu.repeat has TILE semantics, so roh expands via broadcast)
-    return (jnp.broadcast_to(roh[:, None, :], (WY, WX, P)).reshape(WC, P)
-            * pltpu.repeat(coh, WY, 0))                    # (WC, P)
+    return (jnp.broadcast_to(roh[:, None, :], (wy, wx, P)).reshape(wy * wx, P)
+            * pltpu.repeat(coh, wy, 0))                    # (wy*wx, P)
 
 
-def make_cell_onehot(li, lj, P: int):
-    """{0,1} cell-selection matrix (WC, P) from window-local indices."""
+def make_cell_onehot(li, lj, P: int, wy: int = WY, wx: int = WX):
+    """{0,1} cell-selection matrix (wy*wx, P) from window-local indices."""
     li_l = li.reshape(1, P)
     lj_l = lj.reshape(1, P)
-    rr = jax.lax.broadcasted_iota(jnp.int32, (WY, P), 0).astype(jnp.float32)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (WX, P), 0).astype(jnp.float32)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (wy, P), 0).astype(jnp.float32)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (wx, P), 0).astype(jnp.float32)
     roh = jnp.where(rr == lj_l, 1.0, 0.0)
     coh = jnp.where(cc == li_l, 1.0, 0.0)
-    return (jnp.broadcast_to(roh[:, None, :], (WY, WX, P)).reshape(WC, P)
-            * pltpu.repeat(coh, WY, 0))
+    return (jnp.broadcast_to(roh[:, None, :], (wy, wx, P)).reshape(wy * wx, P)
+            * pltpu.repeat(coh, wy, 0))
 
 
 def blend_dot_fn(precision):
@@ -286,20 +315,25 @@ def blend_dot_fn(precision):
 
 
 def make_stage_eval(grid: Grid, sigma: float, nv: int, HL: int,
-                    p_block: int, precision):
+                    p_block: int, precision, window=(WY, WX),
+                    fast_math: bool = False):
     """Build the shared find_currents evaluator for fused kernels.
 
     Returns ``stage_eval(par_ref, oy_f, ox_f, win, xv, yv, zv, oob)``
-    where ``win`` is a (WC, HL) f32 *value* (callers read/collapse their
-    VMEM window refs).  ``precision``: see blend_dot_fn.
+    where ``win`` is a (wy*wx, HL) f32 *value* (callers read/collapse
+    their VMEM window refs).  ``precision``: see blend_dot_fn;
+    ``window``: (wy, wx) VMEM window cell extent; ``fast_math``: see
+    _recip_fn.
     """
     P = p_block
     PS = P // 128
+    wy, wx = window
     us, ws = grid.us, grid.ws
     nx, ny = grid.nx, grid.ny
     gs, c_off, c_diag = _gs_fns(sigma)
     vt = grid.vtransform
     blend_dot = blend_dot_fn(precision)
+    recip = _recip_fn(fast_math)
 
     def stage_eval(par_ref, oy_f, ox_f, win, xv, yv, zv, oob,
                    extras: bool = False):
@@ -313,13 +347,13 @@ def make_stage_eval(grid: Grid, sigma: float, nv: int, HL: int,
         fy = jnp.clip(ty - j, 0.0, 1.0)
         li = i - ox_f
         lj = j - oy_f
-        bad = ((li < 0.0) | (li > float(WX - 2))
-               | (lj < 0.0) | (lj > float(WY - 2)))
+        bad = ((li < 0.0) | (li > float(wx - 2))
+               | (lj < 0.0) | (lj > float(wy - 2)))
         oob = oob | bad
-        li = jnp.clip(li, 0.0, float(WX - 2))
-        lj = jnp.clip(lj, 0.0, float(WY - 2))
+        li = jnp.clip(li, 0.0, float(wx - 2))
+        lj = jnp.clip(lj, 0.0, float(wy - 2))
 
-        wt = make_bilinear_onehot(li, lj, fx, fy, P)
+        wt = make_bilinear_onehot(li, lj, fx, fy, P, wy, wx)
 
         # --- MXU gather+blend -------------------------------------------
         # callers pre-slice win to the 64-lane multiple covering the
@@ -334,6 +368,10 @@ def make_stage_eval(grid: Grid, sigma: float, nv: int, HL: int,
         hc = par_ref[_IDX_HC]
 
         # --- knots (s-coordinate depths, Vtransform 1|2) -----------------
+        # one reciprocal for the whole ladder (the per-knot divide was
+        # ~us+ws divides per stage — the single largest VPU cost here)
+        hinv = recip(h) if vt == 1 else recip(hc + h)
+
         def knots(pair0, K):
             out = []
             for k in range(K):
@@ -341,9 +379,9 @@ def make_stage_eval(grid: Grid, sigma: float, nv: int, HL: int,
                 cs = par_ref[_IDX_SC0 + 2 * (pair0 + k) + 1]
                 if vt == 1:
                     zz0 = hc * s + (h - hc) * cs
-                    out.append(zz0 + zeta * (1.0 + zz0 / h))
+                    out.append(zz0 + zeta * (1.0 + zz0 * hinv))
                 else:
-                    s_ = (hc * s + h * cs) / (hc + h)
+                    s_ = (hc * s + h * cs) * hinv
                     out.append(zeta + (zeta + h) * s_)
             return out
         z_r = knots(0, us)
@@ -353,17 +391,20 @@ def make_stage_eval(grid: Grid, sigma: float, nv: int, HL: int,
         prof_v = [bl[us + k] for k in range(us)]
         prof_w = [bl[2 * us + k] for k in range(ws)]
 
-        z2u, z2v = _fit_thomas_multi(z_r, [prof_u, prof_v], c_off, c_diag)
-        z2w = _fit_thomas(z_w, prof_w, c_off, c_diag)
+        z2u, z2v = _fit_thomas_multi(z_r, [prof_u, prof_v], c_off, c_diag,
+                                     recip=recip)
+        z2w = _fit_thomas(z_w, prof_w, c_off, c_diag, recip=recip)
 
-        u, v = _eval_spline_multi(zv, z_r, [prof_u, prof_v], [z2u, z2v], gs)
-        w = _eval_spline(zv, z_w, prof_w, z2w, gs)
+        u, v = _eval_spline_multi(zv, z_r, [prof_u, prof_v], [z2u, z2v],
+                                  gs, recip=recip)
+        w = _eval_spline(zv, z_w, prof_w, z2w, gs, recip=recip)
 
         # --- near-bottom log layer ---------------------------------------
         z0m = par_ref[_IDX_Z0]
         zab = zv + h
         ztb = jnp.maximum(z_r[0] + h, 2.0 * z0m)
-        decay = jnp.log(jnp.maximum(zab, z0m) / z0m) / jnp.log(ztb / z0m)
+        decay = jnp.log(jnp.maximum(zab, z0m) / z0m) * recip(
+            jnp.log(ztb / z0m))
         factor = jnp.where(zab < ztb, jnp.clip(decay, 0.0, 1.0), 1.0)
         if extras:
             # blended lanes + knots for in-kernel turbulence/behavior
@@ -376,11 +417,14 @@ def make_stage_eval(grid: Grid, sigma: float, nv: int, HL: int,
 
 def _make_kernel(grid: Grid, sigma: float, idt: float, nv: int, HL: int,
                  p_block: int = P,
-                 precision=jax.lax.Precision.HIGHEST):
+                 precision=jax.lax.Precision.HIGHEST,
+                 window=(WY, WX), fast_math: bool = False):
     """Build the single-internal-step RK4 kernel body."""
     P_ = p_block
     PS = P_ // 128
-    stage_eval = make_stage_eval(grid, sigma, nv, HL, P_, precision)
+    wy, wx = window
+    stage_eval = make_stage_eval(grid, sigma, nv, HL, P_, precision,
+                                 window=window, fast_math=fast_math)
     HLc = min(HL, ((nv + 63) // 64) * 64)
 
     def kernel(org_ref, par_ref, x_ref, y_ref, z_ref,
@@ -393,11 +437,11 @@ def _make_kernel(grid: Grid, sigma: float, idt: float, nv: int, HL: int,
         oy = org_ref[2 * b]
         ox = org_ref[2 * b + 1]
         d1 = pltpu.make_async_copy(
-            t1_hbm.at[pl.ds(oy, WY), pl.ds(ox, WX), :], w1s, sems.at[0])
+            t1_hbm.at[pl.ds(oy, wy), pl.ds(ox, wx), :], w1s, sems.at[0])
         d2 = pltpu.make_async_copy(
-            t2_hbm.at[pl.ds(oy, WY), pl.ds(ox, WX), :], w2s, sems.at[1])
+            t2_hbm.at[pl.ds(oy, wy), pl.ds(ox, wx), :], w2s, sems.at[1])
         d4 = pltpu.make_async_copy(
-            t4_hbm.at[pl.ds(oy, WY), pl.ds(ox, WX), :], w4s, sems.at[2])
+            t4_hbm.at[pl.ds(oy, wy), pl.ds(ox, wx), :], w4s, sems.at[2])
         d1.start()
         d2.start()
         d4.start()
@@ -412,10 +456,10 @@ def _make_kernel(grid: Grid, sigma: float, idt: float, nv: int, HL: int,
         half = 0.5 * idt
         d1.wait()
         u1, v1, w1, oob = stage_eval(par_ref, oy_f, ox_f,
-                                     w1s[:].reshape(WC, HL)[:, :HLc],
+                                     w1s[:].reshape(wy * wx, HL)[:, :HLc],
                                      xv, yv, zv, oob)
         d2.wait()
-        win2 = w2s[:].reshape(WC, HL)[:, :HLc]
+        win2 = w2s[:].reshape(wy * wx, HL)[:, :HLc]
         u2, v2, w2, oob = stage_eval(
             par_ref, oy_f, ox_f, win2,
             xv + u1 * half, yv + v1 * half, zv + w1 * half, oob)
@@ -424,7 +468,7 @@ def _make_kernel(grid: Grid, sigma: float, idt: float, nv: int, HL: int,
             xv + u2 * half, yv + v2 * half, zv + w2 * half, oob)
         d4.wait()
         u4, v4, w4, oob = stage_eval(
-            par_ref, oy_f, ox_f, w4s[:].reshape(WC, HL)[:, :HLc],
+            par_ref, oy_f, ox_f, w4s[:].reshape(wy * wx, HL)[:, :HLc],
             xv + u3 * idt, yv + v3 * idt, zv + w3 * idt, oob)
         sixth = idt / 6.0
         dx_ref[0] = sixth * (u1 + 2.0 * u2 + 2.0 * u3 + u4)
@@ -450,12 +494,14 @@ def _params_array(grid: Grid, z0m: float) -> jax.Array:
     return jnp.asarray(np.concatenate([head, inter]), jnp.float32)
 
 
-def block_origins(grid: Grid, x, y, p_block: int = P) -> jax.Array:
+def block_origins(grid: Grid, x, y, p_block: int = P,
+                  window=(WY, WX)) -> jax.Array:
     """Per-block window origins (B, 2) int32 [oy, ox] from positions.
 
     One margin cell left/below for RK4 substep excursions; clipped so
     the window stays inside the table.
     """
+    wy, wx = window
     n = x.shape[0]
     B = n // p_block
     i, _ = locate(grid.x_rho, x, grid.uniform)
@@ -467,8 +513,8 @@ def block_origins(grid: Grid, x, y, p_block: int = P) -> jax.Array:
     # oob-patch path)
     jm = j.reshape(B, p_block)[:, p_block // 2]
     im = i.reshape(B, p_block)[:, p_block // 2]
-    oy = jnp.clip(jm - WY // 2, 0, max(grid.ny - WY, 0))
-    ox = jnp.clip(im - WX // 2, 0, max(grid.nx - WX, 0))
+    oy = jnp.clip(jm - wy // 2, 0, max(grid.ny - wy, 0))
+    ox = jnp.clip(im - wx // 2, 0, max(grid.nx - wx, 0))
     # flat (2B,) layout: see the kernel-side comment on SMEM padding
     return jnp.stack([oy, ox], axis=1).astype(jnp.int32).reshape(-1)
 
@@ -478,6 +524,7 @@ def rk4_displacement_fused(grid: Grid, vtabs, x, y, z, sigma: float,
                            overflow_frac: int = 64,
                            p_block: int = P,
                            precision=jax.lax.Precision.HIGHEST,
+                           window=(WY, WX), fast_math: bool = False,
                            interpret: bool = False):
     """RK4 displacement via the fused kernel + exact XLA overflow patch.
 
@@ -491,13 +538,14 @@ def rk4_displacement_fused(grid: Grid, vtabs, x, y, z, sigma: float,
     PS = P_ // 128
     assert n % P_ == 0, (n, P_)
     B = n // P_
+    wy, wx = window
     nv = pk.n_value_lanes(grid.us, grid.ws)
     HL = t1.full.shape[-1]
-    org = block_origins(grid, x, y, P_)
+    org = block_origins(grid, x, y, P_, window=window)
     params = _params_array(grid, z0m)
 
     kern = _make_kernel(grid, float(sigma), float(idt), nv, HL, P_,
-                        precision)
+                        precision, window=window, fast_math=fast_math)
     out_shape = [jax.ShapeDtypeStruct((B, PS, 128), jnp.float32)] * 3 + [
         jax.ShapeDtypeStruct((B, PS, 128), jnp.int32)]
 
@@ -519,9 +567,9 @@ def rk4_displacement_fused(grid: Grid, vtabs, x, y, z, sigma: float,
         out_specs=[pl.BlockSpec((1, PS, 128), blk,
                                 memory_space=pltpu.VMEM)] * 4,
         scratch_shapes=[
-            pltpu.VMEM((WY, WX, HL), jnp.float32),
-            pltpu.VMEM((WY, WX, HL), jnp.float32),
-            pltpu.VMEM((WY, WX, HL), jnp.float32),
+            pltpu.VMEM((wy, wx, HL), jnp.float32),
+            pltpu.VMEM((wy, wx, HL), jnp.float32),
+            pltpu.VMEM((wy, wx, HL), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )

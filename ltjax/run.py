@@ -28,7 +28,7 @@ from . import checkpoint as ckpt
 from . import convert
 from . import state as st
 from .config import Config, config_from_namelist
-from .fields import FieldSet, make_fieldset, rotate
+from .fields import FieldSet, make_fieldset, rotate, stack_records
 from .grid import Grid, make_grid
 from .io.prefetch import Prefetcher
 from .io.roms import RomsSeries, read_grid, rho_axes_from_grid
@@ -150,8 +150,7 @@ def run(cfg: Config, resume: bool = False,
     else:
         particles = init_particles_from_parfile(cfg)
 
-    # --- prime the triple buffer (initHydro) -----------------------------
-    field_dtype = jnp.dtype(cfg.dtype_field)
+    # --- prime the record window (initHydro) -----------------------------
     recs = [series.next_record() for _ in range(3)]
     if resumed_extra is None:
         global_rec += 3
@@ -161,73 +160,112 @@ def run(cfg: Config, resume: bool = False,
         # must stay on the original run clock, not restart at zero
         t_base = resumed_extra.get(
             "t_base", recs[0]["time"] - (global_rec - 3) * cfg.dt)
-    fs = make_fieldset(
-        np.stack([r["zeta"] for r in recs]),
-        np.stack([r["u"] for r in recs]),
-        np.stack([r["v"] for r in recs]),
-        np.stack([r["w"] for r in recs]),
-        np.stack([r["aks"] for r in recs]),
-        np.asarray([r["time"] - t_base for r in recs]),
-        salt=(np.stack([r["salt"] for r in recs])
-              if cfg.SaltTempOn else None),
-        temp=(np.stack([r["temp"] for r in recs])
-              if cfg.SaltTempOn else None),
-        dtype=field_dtype)
     timing.add("hydro_init", time.perf_counter() - t0)
 
-    prefetch = Prefetcher(series.next_record) if cfg.prefetch else None
+    from .step import make_fused_external_steps, mode_flags
+    _, _, use_mega = mode_flags(ctx, cfg)
+    n_fuse = max(1, cfg.ext_fuse) if use_mega else 1
+    prefetch = (Prefetcher(series.next_record, depth=max(2, n_fuse + 1))
+                if cfg.prefetch else None)
 
     writer = TrajectoryWriter(cfg)
-    ext_step = make_external_step(ctx, cfg, jr.key(cfg.seed))
+    base_key = jr.key(cfg.seed)
+    ext_step = None       # classic one-step path, built lazily
+    fused_cache = {}      # E -> compiled E-step fused call
 
-    # status check for the ErrorFlag=0 halt policy
+    def stepper(E):
+        """E fused external steps (megakernel) or the classic step."""
+        nonlocal ext_step
+        if use_mega and E >= 1:
+            if E not in fused_cache:
+                fused_cache[E] = make_fused_external_steps(
+                    ctx, cfg, base_key, E)
+            return fused_cache[E]
+        if ext_step is None:
+            ext_step = make_external_step(ctx, cfg, base_key)
+
+        def single(p, fsW, t0, ext_idx):
+            fs3 = FieldSet(*(a[:3] for a in fsW[:-1]), times=fsW.times[:3])
+            return ext_step(p, fs3, t0, ext_idx)
+        return single
+
+    # sliding record window: ``window`` holds records
+    # [win_start .. win_start + len(window) - 1]; external step e needs
+    # records [e, e+1, e+2] (the classic triple buffer is the E=1 case)
+    window: List[dict] = list(recs)
+    win_start = global_rec - 3
+    field_dtype = jnp.dtype(cfg.dtype_field)
+
     n_ext = cfg.external_steps
     if not resume:
         writer.snapshot(0.0, particles)
+    exhausted = False
     try:
-        for ext in range(start_ext, n_ext):
+        ext = start_ext
+        while ext < n_ext:
+            # --- chunk size: never straddle an output/checkpoint point ---
+            E = min(n_fuse, n_ext - ext)
+            out_every = cfg.output_every_ext
+            E = min(E, out_every - (ext % out_every))
+            if cfg.checkpoint_every:
+                E = min(E, cfg.checkpoint_every
+                        - (ext % cfg.checkpoint_every))
+
+            # --- updateHydro: extend the window to record ext+E+1 --------
             tw = time.perf_counter()
-            if ext >= 1:
-                # updateHydro: rotate in the next record
+            while global_rec - 1 < ext + E + 1 and not exhausted:
                 rec = prefetch.next() if prefetch else series.next_record()
                 if rec is None:
+                    exhausted = True
+                    break
+                window.append(rec)
+                global_rec += 1
+            if exhausted:
+                E = min(E, global_rec - 2 - ext)
+                if E < 1:
                     print(json.dumps({"event": "series_exhausted",
                                       "ext": ext}))
                     break
-                global_rec += 1
-                fs = rotate(fs, rec["zeta"], rec["u"], rec["v"], rec["w"],
-                            rec["aks"], rec["time"] - t_base,
-                            salt=rec.get("salt"), temp=rec.get("temp"))
-                timing.add("hydro_read", time.perf_counter() - tw)
+            while win_start < ext:                  # drop stale records
+                window.pop(0)
+                win_start += 1
+            fsW = stack_records(window[:E + 2], t_base, field_dtype,
+                                with_salt_temp=cfg.SaltTempOn)
+            timing.add("hydro_read", time.perf_counter() - tw)
 
+            # --- compute E external steps --------------------------------
             tc = time.perf_counter()
             t_ext = float(ext * cfg.dt)
-            particles = ext_step(particles, fs, t_ext, ext)
+            particles = stepper(E)(particles, fsW, t_ext, ext)
             particles = jax.block_until_ready(particles)
             step_s = time.perf_counter() - tc
             timing.add("compute", step_s)
+            ext += E
 
             counts = summary_counts(particles)
             if cfg.ErrorFlag == 0 and counts["error"] > 0:
                 raise RuntimeError(
                     f"{counts['error']} particles hit location/"
-                    f"interpolation errors at ext step {ext} "
+                    f"interpolation errors at ext step {ext - 1} "
                     f"(ErrorFlag=0 halts; set ErrorFlag>0 to continue)")
 
-            if (ext + 1) % cfg.output_every_ext == 0:
+            if ext % cfg.output_every_ext == 0:
                 to = time.perf_counter()
-                writer.snapshot(t_ext + cfg.dt, particles)
+                writer.snapshot(t_ext + E * cfg.dt, particles)
                 timing.add("output", time.perf_counter() - to)
 
-            if cfg.checkpoint_every and (ext + 1) % cfg.checkpoint_every == 0:
+            if cfg.checkpoint_every and ext % cfg.checkpoint_every == 0:
                 ckpt.save(os.path.join(cfg.checkpoint_dir,
-                                       f"ckpt_{ext + 1}.npz"),
-                          particles, ext + 1, global_rec,
+                                       f"ckpt_{ext}.npz"),
+                          particles, ext, global_rec,
                           extra={"t_base": float(t_base)})
 
-            log = {"ext": ext, "sim_t": t_ext + cfg.dt,
-                   "steps_per_s": cfg.numpar * cfg.internal_steps / step_s,
-                   "stall_s": round(prefetch.stall_s, 4) if prefetch else 0.0}
+            log = {"ext": ext - E, "n_fused": E,
+                   "sim_t": t_ext + E * cfg.dt,
+                   "steps_per_s": cfg.numpar * cfg.internal_steps * E
+                   / step_s,
+                   "stall_s": round(prefetch.stall_s, 4) if prefetch
+                   else 0.0}
             log.update(counts)
             print(json.dumps(log))
     finally:
@@ -246,6 +284,12 @@ def main(argv=None):
     if not argv:
         print("usage: python -m ltjax.run LTRANS.data [--resume]")
         return 2
+    # the container sitecustomize force-registers the TPU backend and
+    # overwrites jax_platforms at import; re-apply an explicit user
+    # choice (JAX_PLATFORMS=cpu runs the engine on the host backend)
+    envp = os.environ.get("JAX_PLATFORMS")
+    if envp and "axon" not in envp:
+        jax.config.update("jax_platforms", envp)
     cfg = config_from_namelist(argv[0])
     run(cfg, resume="--resume" in argv)
     return 0

@@ -67,6 +67,7 @@ def _precision(cfg: Config):
 
 def _rk4_fused_padded(grid: Grid, vtabs, x, y, z, sigma: float, z0m: float,
                       idt: float, p_block: int, precision,
+                      window=(gi.WY, gi.WX), fast_math: bool = False,
                       interpret: bool = False):
     """Pad the batch to a p_block multiple (replicating the last
     particle), run the fused kernel, slice back."""
@@ -78,7 +79,8 @@ def _rk4_fused_padded(grid: Grid, vtabs, x, y, z, sigma: float, z0m: float,
         z = jnp.concatenate([z, jnp.broadcast_to(z[-1:], (pad,))])
     dx, dy, dz, ovf = gi.rk4_displacement_fused(
         grid, vtabs, x, y, z, sigma, z0m, idt, p_block=p_block,
-        precision=precision, interpret=interpret)
+        precision=precision, window=window, fast_math=fast_math,
+        interpret=interpret)
     return dx[:n], dy[:n], dz[:n], ovf[:n]
 
 
@@ -129,7 +131,9 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
     if fast and mode == "kernel":
         dxa, dya, dza, adv_err = _rk4_fused_padded(
             grid, tabs, p.x, p.y, p.z, cfg.tension_sigma, cfg.z0,
-            float(cfg.idt), cfg.kernel_block, _precision(cfg))
+            float(cfg.idt), cfg.kernel_block, _precision(cfg),
+            window=(cfg.kernel_wy, cfg.kernel_wx),
+            fast_math=cfg.kernel_fast_math)
     elif fast and mode == "records":
         dxa, dya, dza = pk.rk4_displacement_records(
             grid, rft, p.x, p.y, p.z, t, cfg.tension_sigma, cfg.z0,
@@ -259,16 +263,22 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
         hit_land=hit_land, hit_bottom=hit_bottom, salt=salt, temp=temp)
 
 
-def make_external_step(ctx: StepContext, cfg: Config, base_key):
-    """Compile one external step: scan of cfg.internal_steps internal
-    steps, fields fixed (the triple buffer covers [t_c, t_f]).
+def boundary_s_max(bounds: bd.Boundaries) -> int:
+    """True boundary-segment slot count of the packed cell rows (the
+    lanes beyond ``8 + 8*s_max`` are 128-multiple DMA padding).  Single
+    source of truth for step.py and the benchmarks (layout defined in
+    ltjax.physics.boundary.build_boundaries)."""
+    return (int(bounds.cell_rows.shape[1]) - 8) // 8
 
-    With ``cfg.fast_interp`` the per-record packed tables are built
-    once per external step (dense, grid-sized) and the scan body runs
-    the gather-optimized path."""
-    n_int = cfg.internal_steps
-    idt = float(cfg.idt)
 
+def mode_flags(ctx: StepContext, cfg: Config):
+    """Resolve which compute path the configuration gets.
+
+    Returns (use_fast, use_kernel, use_mega):
+      * use_fast   — packed-table interpolation (ltjax.packed)
+      * use_kernel — fused Pallas RK4 kernel per internal step
+      * use_mega   — whole-external-step Pallas megakernel
+    """
     # adaptive tension (<0) varies per interval/particle — native only
     use_fast = cfg.fast_interp and cfg.tension_sigma >= 0
     # the fused Pallas kernels additionally need a TPU backend, f32
@@ -283,12 +293,26 @@ def make_external_step(ctx: StepContext, cfg: Config, base_key):
     use_mega = (use_kernel
                 and cfg.Behavior == 0 and not cfg.mortality
                 and not cfg.settlementon and not cfg.SaltTempOn)
+    return use_fast, use_kernel, use_mega
+
+
+def make_external_step(ctx: StepContext, cfg: Config, base_key):
+    """Compile one external step: scan of cfg.internal_steps internal
+    steps, fields fixed (the triple buffer covers [t_c, t_f]).
+
+    With ``cfg.fast_interp`` the per-record packed tables are built
+    once per external step (dense, grid-sized) and the scan body runs
+    the gather-optimized path."""
+    n_int = cfg.internal_steps
+    idt = float(cfg.idt)
+
+    use_fast, use_kernel, use_mega = mode_flags(ctx, cfg)
 
     if use_mega:
         from .kernels import ext_step as es
         brows = jnp.asarray(es.boundary_rows_table(
             ctx.bounds, ctx.grid.ny, ctx.grid.nx))
-        s_max = (int(ctx.bounds.cell_rows.shape[1]) - 8) // 8
+        s_max = boundary_s_max(ctx.bounds)
 
     mega_aks = use_mega and cfg.VTurbOn and cfg.readAks
 
@@ -326,12 +350,85 @@ def make_external_step(ctx: StepContext, cfg: Config, base_key):
     return ext_step
 
 
+def make_fused_external_steps(ctx: StepContext, cfg: Config, base_key,
+                              n_fuse: int, interpret: bool = False):
+    """Compile ``n_fuse`` consecutive external steps into ONE jitted
+    call (megakernel path only) over an (n_fuse + 2)-record field
+    window.
+
+    Motivation (BASELINE.md): at 1M particles one external step costs
+    ~320 ms of which ~37 ms is Hilbert sort/unsort + per-call dispatch
+    — per-step fixed costs that this call pays ONCE for n_fuse steps.
+    Block drift between sorts is tiny (bulk drift ~0.4 cells per
+    external step on the baseline case), so the kernel's mean-tracking
+    window origins stay valid; any straggler that leaves its block's
+    window takes the exact oob-patch path, same as within one step.
+
+    Returns ``fused(p, fsR, t0, ext_idx0) -> p'`` where ``fsR`` is a
+    FieldSet whose leaves carry a leading record axis of n_fuse + 2
+    (times included); external step e uses records [e, e+1, e+2] —
+    value-identical to n_fuse sequential make_external_step calls on
+    the rotating triple buffer (reference ``updateHydro`` semantics,
+    SURVEY.md SS3.3).
+    """
+    from .kernels import ext_step as es
+
+    if not interpret:
+        use_fast, use_kernel, use_mega = mode_flags(ctx, cfg)
+        assert use_mega, "fused multi-step requires the megakernel path"
+    grid = ctx.grid
+    n_int = cfg.internal_steps
+    dt = float(cfg.dt)
+    mega_aks = cfg.VTurbOn and cfg.readAks
+    brows = jnp.asarray(es.boundary_rows_table(
+        ctx.bounds, grid.ny, grid.nx))
+    s_max = boundary_s_max(ctx.bounds)
+
+    @jax.jit
+    def fused(p: st.Particles, fsR: FieldSet, t0, ext_idx0):
+        prec_all = pk.build_packed_records(grid, fsR, with_aks=mega_aks)
+        rtab_all = pk.build_record_tables(grid, prec_all)
+
+        # Hilbert sort once for all n_fuse steps
+        ci, _ = locate(grid.x_rho, p.x, grid.uniform)
+        cj, _ = locate(grid.y_rho, p.y, grid.uniform)
+        ps, perm = sp.sort_by_cell(p, ci, cj)
+
+        def body(carry, e):
+            pp = carry
+            tab3 = jax.lax.dynamic_slice_in_dim(prec_all.tab, e, 3, 0)
+            times3 = jax.lax.dynamic_slice_in_dim(fsR.times, e, 3, 0)
+            prec3 = pk.PackedRecords(tab=tab3, times=times3,
+                                     with_aks=mega_aks)
+            rtab3 = jax.lax.dynamic_slice_in_dim(rtab_all, e, 3, 0)
+            f3 = FieldSet(
+                *(jax.lax.dynamic_slice_in_dim(a, e, 3, 0)
+                  for a in fsR[:-1]), times=times3)
+            pp = _mega_external_step(
+                ctx, cfg, base_key, pp, f3, prec3, brows, s_max,
+                t0 + e.astype(p.x.dtype) * dt, ext_idx0 + e, rtab=rtab3,
+                interpret=interpret)
+            return pp, None
+
+        ps, _ = jax.lax.scan(body, ps, jnp.arange(n_fuse))
+        return sp.unsort(ps, perm)
+
+    return fused
+
+
 def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
                         p: st.Particles, fields: FieldSet, prec, brows,
-                        s_max: int, t0, ext_idx) -> st.Particles:
+                        s_max: int, t0, ext_idx,
+                        rtab=None, interpret: bool = False
+                        ) -> st.Particles:
     """One external step through the whole-external-step Pallas kernel
     (ltjax.kernels.ext_step) + exact XLA recompute of out-of-window
-    particles via the collapsed mirror path."""
+    particles via the collapsed mirror path.
+
+    ``rtab`` (the (3, Ny, Nx, HL) record tables) may be passed in by
+    callers that already hold them (the fused multi-step driver slices
+    them from a stacked record window); built from ``prec`` otherwise.
+    """
     from .kernels import ext_step as es
 
     grid = ctx.grid
@@ -341,7 +438,8 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
     pb = cfg.kernel_block
     pad = (-n) % pb
 
-    rtab = pk.build_record_tables(grid, prec)
+    if rtab is None:
+        rtab = pk.build_record_tables(grid, prec)
     params = es.params_array_ext(grid, ctx.bounds, cfg.z0, t0,
                                  fields.times, idt, n_int,
                                  const_hturb=(cfg.ConstantHTurb
@@ -370,7 +468,9 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
         open_exits=cfg.OpenOceanBoundary,
         pids=padded(p.pid, -1), rngk=rngk,
         hturb_on=cfg.HTurbOn, vturb_on=cfg.VTurbOn,
-        with_aks=prec.with_aks)
+        with_aks=prec.with_aks,
+        window=(cfg.kernel_wy, cfg.kernel_wx),
+        fast_math=cfg.kernel_fast_math, interpret=interpret)
     xo, yo, zo = xo[:n], yo[:n], zo[:n]
     sto, hitl, hitb, oob = sto[:n], hitl[:n], hitb[:n], oob[:n]
 
@@ -388,7 +488,7 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
     # under ErrorFlag=0.  (A lax.cond full-batch fallback would get its
     # HBM budgeted at compile time: 4x N x 189 gather temps OOM'd the
     # chip at 10M particles.)
-    cap = min(n, max(256, n // 64))
+    cap = min(n, max(256, n // cfg.oob_frac))
     rft = pk.build_records_flat(grid, prec)
 
     def run_subset(pp: st.Particles) -> st.Particles:

@@ -207,11 +207,19 @@ def fieldset_for(case: SolidBodyCase, t_center: float, dt: float,
                  dtype=None):
     """Triple-buffered FieldSet with records at t_center-dt, t_center,
     t_center+dt."""
+    return fieldset_window(case, t_center - dt, dt, 3, dtype=dtype)
+
+
+def fieldset_window(case: SolidBodyCase, t_first: float, dt: float,
+                    n_records: int, dtype=None):
+    """FieldSet with ``n_records`` records at t_first + k*dt — the
+    (n_fuse + 2)-record window consumed by
+    ltjax.step.make_fused_external_steps."""
     import jax.numpy as jnp
     from .fields import make_fieldset
     if dtype is None:
         dtype = jnp.asarray(case.grid.x_rho).dtype
-    times = [t_center - dt, t_center, t_center + dt]
+    times = [t_first + k * dt for k in range(n_records)]
     slabs = [case.slabs(t) for t in times]
     stack = lambda k: np.stack([s[k] for s in slabs])
     return make_fieldset(stack("zeta"), stack("u"), stack("v"), stack("w"),

@@ -211,6 +211,74 @@ def test_ext_step_fused_turbulence_matches_xla():
     assert np.array_equal(np.asarray(sto)[ok], np.asarray(pp.status)[ok])
 
 
+def test_fused_multi_step_matches_sequential():
+    """make_fused_external_steps(n_fuse=2) over a 4-record window must
+    equal two sequential 1-step fused calls on the rotating 3-record
+    buffer (reference updateHydro semantics) — the only difference is
+    WHEN the Hilbert sort happens, which cannot change values for
+    in-window particles."""
+    import jax.random as jr
+    from ltjax import state as st
+    from ltjax.config import Config
+    from ltjax.fields import FieldSet
+    from ltjax.physics import boundary as bd
+    from ltjax.step import StepContext, make_fused_external_steps
+
+    dtype = jnp.float32
+    us = 6
+    c = synth.make_solid_body_case(nx=41, ny=41, us=us, lx=100e3, ly=100e3,
+                                   h0=50.0, omega=5e-5, dtype=dtype)
+    grid = c.grid
+    dt = 1800.0
+    # 4-record window: records at t = 0, dt, 2dt, 3dt
+    fs0 = synth.fieldset_for(c, t_center=0.5 * dt, dt=dt, dtype=dtype)
+    fs1 = synth.fieldset_for(c, t_center=1.5 * dt, dt=dt, dtype=dtype)
+    # stack records 0..3 (fs0 holds [−? ...]: fieldset_for centers the
+    # triple buffer on t_center, giving times [t_c-dt, t_c, t_c+dt]?
+    # synth uses [0, dt, 2dt]-style times; concatenate unique records
+    fsR = FieldSet(*(jnp.concatenate([a, b[2:3]], axis=0)
+                     for a, b in zip(fs0[:-1], fs1[:-1])),
+                   times=jnp.concatenate([fs0.times,
+                                          fs1.times[2:3]]))
+    bounds = bd.build_boundaries(np.asarray(grid.mask_rho),
+                                 np.asarray(grid.x_rho),
+                                 np.asarray(grid.y_rho))
+    ctx = StepContext(grid=grid, bounds=bounds, polys=None, holes=None)
+    cfg = Config(numpar=256, dt=int(dt), idt=450, us=us, ws=us + 1,
+                 OpenOceanBoundary=True, dtype_pos="float32",
+                 reflect_iters=2, kernel_block=256)
+
+    rng_ = np.random.default_rng(3)
+    n = 256
+    p = st.init_particles(rng_.uniform(38e3, 52e3, n),
+                          rng_.uniform(38e3, 52e3, n),
+                          rng_.uniform(-40.0, -5.0, n), dtype=dtype)
+    p = p._replace(status=jnp.full(n, st.ACTIVE, jnp.int32))
+
+    key = jr.key(0)
+    f1 = make_fused_external_steps(ctx, cfg, key, 1, interpret=True)
+    f2 = make_fused_external_steps(ctx, cfg, key, 2, interpret=True)
+
+    def window(e):
+        return FieldSet(*(a[e:e + 3] for a in fsR[:-1]),
+                        times=fsR.times[e:e + 3])
+
+    pa = f1(p, window(0), 0.0, 0)
+    pa = f1(pa, window(1), dt, 1)
+    pb = f2(p, fsR, 0.0, 0)
+
+    ok = (np.asarray(pa.status) == st.ACTIVE) & (
+        np.asarray(pb.status) == st.ACTIVE)
+    assert ok.sum() > 0.9 * n
+    np.testing.assert_allclose(np.asarray(pb.x)[ok], np.asarray(pa.x)[ok],
+                               rtol=0, atol=0.5)
+    np.testing.assert_allclose(np.asarray(pb.y)[ok], np.asarray(pa.y)[ok],
+                               rtol=0, atol=0.5)
+    np.testing.assert_allclose(np.asarray(pb.z)[ok], np.asarray(pa.z)[ok],
+                               rtol=0, atol=1e-2)
+    assert np.array_equal(np.asarray(pb.status), np.asarray(pa.status))
+
+
 def test_block_origins_centered(case):
     grid, vtabs, x, y, z = case
     org = gi.block_origins(grid, x, y, p_block=256)
