@@ -201,6 +201,14 @@ class Config:
             raise ValueError(f"Behavior must be in 0..7, got {self.Behavior}")
         if self.ws != self.us + 1:
             raise ValueError(f"ws ({self.ws}) must equal us+1 ({self.us + 1})")
+        if self.Behavior in (4, 5) and not (self.readSalt and self.SaltTempOn):
+            # oyster-larva ontogenetic migration (types 4/5) cues on the
+            # vertical salinity gradient (behavior_module.f90, SURVEY.md
+            # SS2.1 #8); without salt fields the cue is silently zero
+            raise ValueError(
+                f"Behavior={self.Behavior} (salinity-cued ontogenetic "
+                "migration) requires readSalt and SaltTempOn — without "
+                "salt fields the dS/dz cue is identically zero")
 
 
 _FIELDS = {f.name.lower(): f.name for f in dataclasses.fields(Config)}

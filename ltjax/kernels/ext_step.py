@@ -181,6 +181,8 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                       hitl, oob):
         """In-kernel mirror of ltjax.physics.boundary.reflect."""
         exited = jnp.zeros((PS, 128), jnp.bool_)
+        interacted = jnp.zeros((PS, 128), jnp.bool_)
+        xi0, yi0 = x0, y0                     # pre-move (tunnel guard)
 
         for _ in range(n_iter):
             tbx = (x0 - par_ref[_IDX_BX0]) * par_ref[_IDX_INVBDX]
@@ -256,6 +258,7 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
             y1 = jnp.where(newly_exited, iy, y1)
             hitl = hitl + jnp.where(do_reflect & ~is_open, 1, 0)
             exited = exited | newly_exited
+            interacted = interacted | do_reflect | newly_exited
 
         # stuck check: water flag (lane 0) of the endpoint's cell row
         tbx = (x1 - par_ref[_IDX_BX0]) * par_ref[_IDX_INVBDX]
@@ -272,6 +275,26 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
             precision=row_precision)
         water = rows.reshape(BL, PS, 128)[0] > 0.5
         stuck = act & ~exited & ~water
+
+        # tunnel guard (mirrors physics.boundary.reflect): particles
+        # with NO boundary interaction whose straight-path midpoint is
+        # on land stepped over a spit outside their bucket -> stuck
+        xm = 0.5 * (xi0 + x1)
+        ym = 0.5 * (yi0 + y1)
+        tmx = (xm - par_ref[_IDX_BX0]) * par_ref[_IDX_INVBDX]
+        tmy = (ym - par_ref[_IDX_BY0]) * par_ref[_IDX_INVBDY]
+        lmx = jnp.clip(jnp.clip(jnp.floor(tmx), 0.0, float(nx - 1)) - ox_f,
+                       0.0, float(wx - 1))
+        lmy = jnp.clip(jnp.clip(jnp.floor(tmy), 0.0, float(ny - 1)) - oy_f,
+                       0.0, float(wy - 1))
+        ohm = make_cell_onehot(lmx, lmy, P, wy, wx)
+        rows_m = jax.lax.dot_general(
+            wbd[:].reshape(wc, BL), ohm,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=row_precision)
+        water_m = rows_m.reshape(BL, PS, 128)[0] > 0.5
+        stuck = stuck | (act & ~exited & ~interacted & ~water_m)
         return x1, y1, exited, stuck, hitl, oob
 
     def kernel(par_ref, rngk_ref, x_ref, y_ref, z_ref, dob_ref, st_ref,

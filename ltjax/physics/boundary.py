@@ -289,6 +289,22 @@ def reflect(bounds: Boundaries, x0, y0, x1, y1, open_exits: bool,
         exited = exited | newly_exited
 
     stuck = ~exited & ~in_water(bounds, px1, py1)
+    # --- tunnel guard ----------------------------------------------------
+    # The per-cell buckets cover the 3x3 neighborhood of the pre-move
+    # cell, which guarantees crossing detection only for displacements
+    # up to ~1 cell (docstring assumption; same regime the reference's
+    # adjacent-element search addresses).  A faster particle can step
+    # clean over a thin land spit whose segments are not in its bucket:
+    # both endpoints in water, no crossing ever seen.  Catch it by
+    # midpoint test on the UNREFLECTED straight path of particles that
+    # had no boundary interaction at all (for interacting particles the
+    # net chord legitimately passes outside water).  Midpoint-on-land =>
+    # stuck => status ERROR upstream: loud, never silent.
+    no_interact = (hit_land == 0) & ~exited & ~stuck
+    xm = 0.5 * (x0 + px1)
+    ym = 0.5 * (y0 + py1)
+    tunneled = no_interact & ~in_water(bounds, xm, ym)
+    stuck = stuck | tunneled
     return px1, py1, hit_land, exited, stuck
 
 

@@ -136,8 +136,23 @@ def point_in_polygon(vx, vy, px, py):
     return (crossings % 2) == 1
 
 
+def _locate_edges(edges, v, nmax: int, uniform: bool):
+    """Cell index of v in an edge lattice.
+
+    uniform=True uses arithmetic locate (searchsorted lowers to a
+    serialized binary search on TPU, ~128 ms per 1M queries —
+    BASELINE.md microarch facts; same rule as boundary.cell_of).
+    """
+    if uniform:
+        t = (v - edges[0]) / (edges[1] - edges[0])
+        return jnp.clip(jnp.floor(t).astype(jnp.int32), 0, nmax - 1)
+    return jnp.clip(jnp.searchsorted(edges, v, side="right") - 1,
+                    0, nmax - 1).astype(jnp.int32)
+
+
 def test_settlement(polys: Optional[Polygons], holes: Optional[Polygons],
-                    x_edges, y_edges, x, y, eligible):
+                    x_edges, y_edges, x, y, eligible,
+                    uniform: bool = False):
     """testSettlement analog for the whole batch.
 
     Returns (settles, poly_id): settles[i] True if particle i is inside
@@ -146,10 +161,8 @@ def test_settlement(polys: Optional[Polygons], holes: Optional[Polygons],
     if polys is None:
         n = x.shape[0]
         return jnp.zeros(n, bool), jnp.full(n, -1, jnp.int32)
-    i = jnp.clip(jnp.searchsorted(x_edges, x, side="right") - 1,
-                 0, polys.cell_cands.shape[1] - 1)
-    j = jnp.clip(jnp.searchsorted(y_edges, y, side="right") - 1,
-                 0, polys.cell_cands.shape[0] - 1)
+    i = _locate_edges(x_edges, x, polys.cell_cands.shape[1], uniform)
+    j = _locate_edges(y_edges, y, polys.cell_cands.shape[0], uniform)
     cands = polys.cell_cands[j, i]                 # (N, Cmax)
     valid = cands >= 0
     ck = jnp.maximum(cands, 0)
@@ -161,10 +174,8 @@ def test_settlement(polys: Optional[Polygons], holes: Optional[Polygons],
                     polys.poly_id[ck[jnp.arange(x.shape[0]), first]], -1)
 
     if holes is not None:
-        hi = jnp.clip(jnp.searchsorted(x_edges, x, side="right") - 1,
-                      0, holes.cell_cands.shape[1] - 1)
-        hj = jnp.clip(jnp.searchsorted(y_edges, y, side="right") - 1,
-                      0, holes.cell_cands.shape[0] - 1)
+        hi = _locate_edges(x_edges, x, holes.cell_cands.shape[1], uniform)
+        hj = _locate_edges(y_edges, y, holes.cell_cands.shape[0], uniform)
         hc = holes.cell_cands[hj, hi]
         hvalid = hc >= 0
         hk = jnp.maximum(hc, 0)

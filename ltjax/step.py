@@ -221,7 +221,7 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
         eligible = active & ((p.age + idt) >= cfg.pediage) & ~exited & ~stuck
         settles, spid = stl.test_settlement(
             ctx.polys, ctx.holes, bounds.x_edges, bounds.y_edges,
-            xr, yr, eligible)
+            xr, yr, eligible, uniform=bounds.uniform)
 
     # --- apply updates under the active mask -----------------------------
     new_x = jnp.where(active, xr, p.x)

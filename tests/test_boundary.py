@@ -122,3 +122,43 @@ def test_vertical_reflection():
                                atol=1e-12)
     assert bool(hs[0]) and not bool(hs[2])
     assert bool(hb[1]) and not bool(hb[2])
+
+
+def test_tunnel_guard_catches_overstep():
+    """A displacement far beyond the 3x3 bucket coverage that steps
+    clean over a 1-cell land spit must be flagged stuck (ERROR
+    upstream), never silently tunneled (VERDICT r2 weak #2)."""
+    b = _square_domain(12, land_col=6, closed=True)
+    # start at x=3.2, jump to x=9.2: crosses the col-6 wall, but the
+    # pre-move cell (3) bucket only holds segments of cols 2-4
+    x0 = jnp.asarray([3.2])
+    y0 = jnp.asarray([5.0])
+    x1 = jnp.asarray([9.2])
+    y1 = jnp.asarray([5.0])
+    xr, yr, hits, exited, stuck = bd.reflect(b, x0, y0, x1, y1,
+                                             open_exits=False, n_iter=4)
+    assert bool(stuck[0])
+    assert not bool(exited[0])
+
+    # a same-length jump with no land anywhere on the path stays clean
+    x0b = jnp.asarray([1.2])
+    x1b = jnp.asarray([4.8])
+    _, _, _, _, stuck_b = bd.reflect(b, x0b, y0, x1b, y1,
+                                     open_exits=False, n_iter=4)
+    assert not bool(stuck_b[0])
+
+
+def test_tunnel_guard_no_false_positive_on_reflection():
+    """Particles that DID interact with a wall are exempt from the
+    midpoint test (their net chord may legitimately cross land)."""
+    b = _square_domain(12, land_col=6, closed=True)
+    # approach the wall from x=5.2 and bounce off it
+    x0 = jnp.asarray([5.2])
+    y0 = jnp.asarray([5.0])
+    x1 = jnp.asarray([6.3])
+    y1 = jnp.asarray([5.0])
+    xr, yr, hits, exited, stuck = bd.reflect(b, x0, y0, x1, y1,
+                                             open_exits=False, n_iter=4)
+    assert int(hits[0]) >= 1
+    assert not bool(stuck[0])
+    assert float(xr[0]) < 5.5   # reflected back into water
