@@ -50,7 +50,7 @@ ps, _ = sp.sort_by_cell(p, ci, cj)
 ps = jax.block_until_ready(ps)
 
 
-def run_combo(wy, wx, pb, precision, fast_math, reps=5):
+def run_combo(wy, wx, pb, precision, fast_math, dma_once=False, reps=5):
     pad = (-N) % pb
 
     def padded(a, fill=None):
@@ -67,7 +67,7 @@ def run_combo(wy, wx, pb, precision, fast_math, reps=5):
             p_block=pb, s_max=s_max, precision=precision,
             open_exits=cfg.OpenOceanBoundary, pids=pid, rngk=None,
             hturb_on=False, vturb_on=False, with_aks=False,
-            window=(wy, wx), fast_math=fast_math)
+            window=(wy, wx), fast_math=fast_math, dma_once=dma_once)
 
     args = (padded(ps.x), padded(ps.y), padded(ps.z),
             padded(ps.dob, jnp.inf), padded(ps.status, st.NOT_RELEASED),
@@ -83,30 +83,27 @@ def run_combo(wy, wx, pb, precision, fast_math, reps=5):
 
 
 COMBOS = [
-    # (wy, wx, p_block, precision_name, fast_math)
-    (16, 16, 2048, "hilo3", False),     # round-2 production config
-    (16, 16, 2048, "hilo3", True),
-    (8, 16, 1024, "hilo3", True),
-    (8, 16, 2048, "hilo3", True),
-    (16, 8, 1024, "hilo3", True),
-    (8, 8, 1024, "hilo3", True),
-    (8, 8, 512, "hilo3", True),
-    (8, 16, 1024, "default", True),
-    (16, 16, 2048, "default", True),
+    # (wy, wx, p_block, precision_name, fast_math, dma_once)
+    (16, 16, 2048, "hilo3", True, True),
+    (16, 16, 2048, "default", True, True),
+    (16, 16, 4096, "hilo3", True, True),
+    (16, 16, 4096, "default", True, True),
+    (24, 24, 4096, "hilo3", True, True),
+    (16, 16, 2048, "hilo3", True, False),   # round-2-style per-step DMA
 ]
 
 print(f"N={N} n_int={n_int} (one ext step, kernel only)")
-for wy, wx, pb, pname, fm in COMBOS:
+for wy, wx, pb, pname, fm, donce in COMBOS:
     from ltjax.config import Config
     pr = {"hilo3": "hilo3", "default": jax.lax.Precision.DEFAULT,
           "highest": jax.lax.Precision.HIGHEST}[pname]
     try:
-        dt_s, oob = run_combo(wy, wx, pb, pr, fm)
+        dt_s, oob = run_combo(wy, wx, pb, pr, fm, donce)
         rate = N * n_int / dt_s
-        print(f"w={wy}x{wx} pb={pb:5d} {pname:7s} fm={int(fm)}: "
-              f"{dt_s*1e3:7.2f} ms  {rate/1e6:7.1f} M steps/s  "
-              f"oob={oob*100:.3f}%")
+        print(f"w={wy}x{wx} pb={pb:5d} {pname:7s} fm={int(fm)} "
+              f"d1={int(donce)}: {dt_s*1e3:7.2f} ms  "
+              f"{rate/1e6:7.1f} M steps/s  oob={oob*100:.3f}%")
     except Exception as e:  # noqa: BLE001 — sweep survives bad combos
-        print(f"w={wy}x{wx} pb={pb:5d} {pname:7s} fm={int(fm)}: "
-              f"FAILED {type(e).__name__}: {str(e)[:200]}")
+        print(f"w={wy}x{wx} pb={pb:5d} {pname:7s} fm={int(fm)} "
+              f"d1={int(donce)}: FAILED {type(e).__name__}: {str(e)[:200]}")
     sys.stdout.flush()

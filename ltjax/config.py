@@ -173,6 +173,9 @@ class Config:
     mesh_particles: int = 1       # mesh axis size: particle data-parallel
     mesh_tiles: int = 1           # mesh axis size: domain tiles (eta strips)
     migrate_capacity: float = 1.5 # per-tile particle buffer slack factor
+    halo_rows: int = 4            # halo rows per tile side (must cover
+                                  #   max displacement per external step
+                                  #   + 1 stencil row; shard.halo_rows_needed)
     prefetch: bool = True         # async host->device field prefetch
     checkpoint_every: int = 0     # external steps between checkpoints (0=off)
     checkpoint_dir: str = "ckpt"

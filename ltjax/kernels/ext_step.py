@@ -156,7 +156,7 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                      p_block: int, precision, open_exits: bool,
                      s_max: int, hturb_on: bool, vturb_on: bool,
                      vturb_aks: bool, window=(WY, WX),
-                     fast_math: bool = False):
+                     fast_math: bool = False, dma_once: bool = False):
     P = p_block
     PS = P // 128
     wy, wx = window
@@ -327,6 +327,7 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
         hitl = jnp.zeros((PS, 128), jnp.int32)
         hitb = jnp.zeros((PS, 128), jnp.int32)
         oob = jnp.zeros((PS, 128), jnp.bool_)
+        oy0 = ox0 = None
 
         def origin(xv, yv, oob):
             """Window origin tracking the mean of in-window particles
@@ -345,13 +346,24 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                           max(ny - wy, 0))
             return oy, ox
 
+        if dma_once:
+            # one window DMA for the whole external step: the block
+            # mean drifts ~v*dt/cell ~ O(0.4) cells per external step,
+            # far inside the window margin — per-step re-DMA (and the
+            # per-step mean reduction) was ~25% of kernel time
+            oy0, ox0 = origin(xv, yv, oob)
+            dma_windows(oy0, ox0)
+
         def body(i, carry):
             # oob rides as int32: Mosaic cannot legalize i1-vector loop
             # carries (scf.for legalization failure, observed on v5e)
             xv, yv, zv, st, hitl, hitb, oobi = carry
             oob = oobi != 0
-            oy, ox = origin(xv, yv, oob)
-            dma_windows(oy, ox)
+            if dma_once:
+                oy, ox = oy0, ox0
+            else:
+                oy, ox = origin(xv, yv, oob)
+                dma_windows(oy, ox)
             oy_f = oy.astype(jnp.float32)
             ox_f = ox.astype(jnp.float32)
 
@@ -510,6 +522,7 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
                    hturb_on: bool = False, vturb_on: bool = False,
                    with_aks: bool = False,
                    window=(WY, WX), fast_math: bool = False,
+                   dma_once: bool = False,
                    interpret: bool = False):
     """Run one full external step in-kernel.
 
@@ -547,7 +560,8 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
                             open_exits=open_exits, s_max=s_real,
                             hturb_on=hturb_on, vturb_on=vturb_on,
                             vturb_aks=vturb_on and with_aks,
-                            window=window, fast_math=fast_math)
+                            window=window, fast_math=fast_math,
+                            dma_once=dma_once)
 
     fshape = jax.ShapeDtypeStruct((B, PS, 128), jnp.float32)
     ishape = jax.ShapeDtypeStruct((B, PS, 128), jnp.int32)

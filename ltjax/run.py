@@ -105,6 +105,8 @@ class Timing:
 
 def run(cfg: Config, resume: bool = False,
         series_paths: Optional[List[str]] = None) -> st.Particles:
+    if cfg.mesh_particles * cfg.mesh_tiles > 1:
+        return run_sharded(cfg, resume=resume, series_paths=series_paths)
     cfg.validate()
     if cfg.dtype_pos == "float64" and not jax.config.jax_enable_x64:
         # without this, f64 requests silently truncate to f32
@@ -277,6 +279,155 @@ def run(cfg: Config, resume: bool = False,
     if cfg.WriteModelTiming:
         print(json.dumps({"timing": timing.summary()}))
     return particles
+
+
+def run_sharded(cfg: Config, resume: bool = False,
+                series_paths: Optional[List[str]] = None) -> st.Particles:
+    """Multi-chip driver: (dp x tile) mesh, halo exchange, migration.
+
+    Production form of BASELINE.json config 5 (SURVEY.md SS2.2/SS7.2
+    M5): particles live in fixed-capacity (ndp, ntiles, cap) slot
+    buffers sharded over the mesh; fields are eta-padded and sharded
+    over the tile axis; every external step is ONE compiled shard_map
+    (halo ppermute -> internal-step scan -> all_to_all migration).
+    Checkpoints save the slot buffers directly (resume preserves the
+    slot layout bit-for-bit).  Multi-host: set JAX_COORDINATOR_ADDRESS
+    (+ standard jax.distributed env) before launch; only process 0
+    writes trajectory output.
+    """
+    from . import shard
+
+    cfg.validate()
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        # real multi-host: the standard env (coordinator address,
+        # process count/id) drives jax.distributed
+        jax.distributed.initialize()
+    is_proc0 = jax.process_index() == 0
+    if cfg.dtype_pos == "float64" and not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+    timing = Timing()
+    t0 = time.perf_counter()
+
+    grid = load_grid(cfg)
+    ctx = build_context(cfg, grid)
+    series = RomsSeries(cfg, paths=series_paths)
+    global_rec = 0
+
+    ndp, ntiles = cfg.mesh_particles, cfg.mesh_tiles
+    spec = shard.make_spec(cfg, grid.ny, cfg.numpar, ndp, ntiles,
+                           halo=cfg.halo_rows, slack=cfg.migrate_capacity)
+    mesh = shard.make_mesh(spec)
+    tiled = shard.build_tiled_static(grid, spec)
+    base_key = jr.key(cfg.seed)
+    step = shard.make_tiled_step(ctx, cfg, spec, tiled, mesh, base_key)
+
+    start_ext = 0
+    resumed_extra = None
+    pbuf = None
+    if resume:
+        path = ckpt.latest(cfg.checkpoint_dir)
+        if path:
+            saved, start_ext, global_rec, resumed_extra = ckpt.load(path)
+            if saved.x.ndim == 3 and saved.x.shape[:2] == (ndp, ntiles):
+                pbuf = saved                    # same mesh: exact layout
+            else:
+                # mesh changed between runs: re-scatter the flat batch
+                flat = (shard.gather_particles(saved)
+                        if saved.x.ndim == 3 else saved)
+                pbuf = shard.scatter_particles(flat, spec,
+                                               tiled.tile_edges)
+    if pbuf is None:
+        particles = init_particles_from_parfile(cfg)
+        pbuf = shard.scatter_particles(particles, spec, tiled.tile_edges)
+
+    if resumed_extra is not None:
+        series.seek(global_rec - 3)          # re-prime the record window
+    recs = [series.next_record() for _ in range(3)]
+    if resumed_extra is None:
+        global_rec += 3
+        t_base = recs[0]["time"]
+    else:
+        t_base = resumed_extra.get(
+            "t_base", recs[0]["time"] - (global_rec - 3) * cfg.dt)
+    timing.add("hydro_init", time.perf_counter() - t0)
+
+    prefetch = Prefetcher(series.next_record) if cfg.prefetch else None
+    writer = TrajectoryWriter(cfg) if is_proc0 else None
+    field_dtype = jnp.dtype(cfg.dtype_field)
+    window: List[dict] = list(recs)
+    win_start = global_rec - 3
+    n_ext = cfg.external_steps
+    drops_total = 0
+
+    if writer and not resume:
+        writer.snapshot(0.0, shard.gather_particles(pbuf))
+    try:
+        for ext in range(start_ext, n_ext):
+            tw = time.perf_counter()
+            while global_rec - 1 < ext + 2:
+                rec = prefetch.next() if prefetch else series.next_record()
+                if rec is None:
+                    print(json.dumps({"event": "series_exhausted",
+                                      "ext": ext}))
+                    return shard.gather_particles(pbuf)
+                window.append(rec)
+                global_rec += 1
+            while win_start < ext:
+                window.pop(0)
+                win_start += 1
+            fs3 = stack_records(window[:3], t_base, field_dtype,
+                                with_salt_temp=cfg.SaltTempOn)
+            fs3 = shard.pad_fieldset_eta(fs3, spec.ny_pad)
+            timing.add("hydro_read", time.perf_counter() - tw)
+
+            tc = time.perf_counter()
+            t_ext = float(ext * cfg.dt)
+            pbuf, n_drop = step(pbuf, fs3, t_ext, ext)
+            pbuf = jax.block_until_ready(pbuf)
+            step_s = time.perf_counter() - tc
+            timing.add("compute", step_s)
+            drops = int(jnp.sum(n_drop))
+            drops_total += drops
+
+            counts = summary_counts(pbuf)
+            if cfg.ErrorFlag == 0 and (counts["error"] > 0 or drops > 0):
+                raise RuntimeError(
+                    f"{counts['error']} errored particles / {drops} "
+                    f"migration overflows at ext step {ext} "
+                    f"(ErrorFlag=0 halts; raise migrate_capacity or set "
+                    f"ErrorFlag>0 to continue)")
+
+            if writer and (ext + 1) % cfg.output_every_ext == 0:
+                to = time.perf_counter()
+                writer.snapshot(t_ext + cfg.dt,
+                                shard.gather_particles(pbuf))
+                timing.add("output", time.perf_counter() - to)
+
+            if cfg.checkpoint_every and (ext + 1) % cfg.checkpoint_every == 0:
+                tag = ("" if jax.process_count() == 1
+                       else f"_h{jax.process_index():03d}")
+                ckpt.save(os.path.join(cfg.checkpoint_dir,
+                                       f"ckpt_{ext + 1}{tag}.npz"),
+                          pbuf, ext + 1, global_rec,
+                          extra={"t_base": float(t_base)})
+
+            log = {"ext": ext, "sim_t": t_ext + cfg.dt,
+                   "steps_per_s": cfg.numpar * cfg.internal_steps / step_s,
+                   "migration_drops": drops,
+                   "stall_s": round(prefetch.stall_s, 4) if prefetch
+                   else 0.0}
+            log.update(counts)
+            print(json.dumps(log))
+    finally:
+        if prefetch:
+            prefetch.close()
+        if writer:
+            writer.close()
+        series.close()
+
+    if cfg.WriteModelTiming:
+        print(json.dumps({"timing": timing.summary()}))
+    return shard.gather_particles(pbuf)
 
 
 def main(argv=None):

@@ -188,11 +188,21 @@ def build_tiled_static(grid: Grid, spec: TileSpec) -> TiledStatic:
 def pad_fieldset_eta(fs: FieldSet, ny_pad: int) -> FieldSet:
     """Edge-replicate every field's eta axis (uniformly axis 1 in the
     K-last layout) to ny_pad rows (v included: its ny-1 rows pad
-    identically, matching the per-tile v axis)."""
+    identically, matching the per-tile v axis).
+
+    Device-side (jnp.pad edge mode): the per-step driver calls this on
+    already-resident arrays; a host round-trip here would serialize the
+    input pipeline.
+    """
 
     def pad(a):
-        a = np.asarray(a)
-        return jnp.asarray(pad_eta(a, 1, ny_pad))
+        a = jnp.asarray(a)
+        n = a.shape[1]
+        if n >= ny_pad:
+            return a
+        pads = [(0, 0)] * a.ndim
+        pads[1] = (0, ny_pad - n)
+        return jnp.pad(a, pads, mode="edge")
 
     return FieldSet(zeta=pad(fs.zeta), u=pad(fs.u), v=pad(fs.v),
                     w=pad(fs.w), aks=pad(fs.aks), salt=pad(fs.salt),
