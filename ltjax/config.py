@@ -163,6 +163,10 @@ class Config:
     kernel_fast_math: bool = True # kernel divides via approx-reciprocal
                                   #   + 2 Newton steps (~1-2 ulp of an
                                   #   exact f32 divide)
+    kernel_dma_once: bool = True  # megakernel fetches its VMEM windows
+                                  #   once per external step (block
+                                  #   drift ~0.4 cells/ext step) instead
+                                  #   of every internal step
     ext_fuse: int = 4             # external steps fused per compiled
                                   #   call on the megakernel path (the
                                   #   field window holds ext_fuse + 2

@@ -163,14 +163,16 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
     wc = wy * wx
     ws = grid.ws
     nx, ny = grid.nx, grid.ny
+    pair2 = precision == "pair2"
     stage_eval = make_stage_eval(grid, sigma, nv, HL, P, precision,
-                                 window=window, fast_math=fast_math)
+                                 window=window, fast_math=fast_math,
+                                 ntot=ntot)
     coef0 = _head_len(grid.us, grid.ws)
     gs, c_off, c_diag = _gs_fns(sigma)
     ds = _ds_fn(sigma)
     any_turb = hturb_on or vturb_on
-    from .gather_interp import blend_dot_fn
-    zh_dot = blend_dot_fn(precision)
+    from .gather_interp import blend_dot_fn, make_rowpair_onehot, pair_dot
+    zh_dot = None if pair2 else blend_dot_fn(precision)
     # boundary row-selects stay f32-exact: segment coords are O(1e5) m,
     # where even a 16-bit mantissa leaves ~1 m geometry error; these
     # matmuls only run on rim blocks (lax.cond), so the 6-pass cost is
@@ -376,7 +378,8 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
 
             # time-collapsed stage windows from the 3 record windows
             # (collapse only the data lanes; the rest is DMA padding)
-            HLc = min(HL, ((ntot + 63) // 64) * 64)
+            nlanes = 2 * ntot if pair2 else ntot
+            HLc = min(HL, ((nlanes + 63) // 64) * 64)
 
             def win_at(stage):
                 c = coef0 + 9 * i + 3 * stage
@@ -475,13 +478,24 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
             jj2 = jnp.clip(jnp.floor(ty), 0.0, float(ny - 2))
             fx = jnp.clip(tx - ii2, 0.0, 1.0)
             fy = jnp.clip(ty - jj2, 0.0, 1.0)
-            li = jnp.clip(ii2 - ox_f, 0.0, float(wx - 2))
+            li_max = float(wx - 1) if pair2 else float(wx - 2)
+            li = jnp.clip(ii2 - ox_f, 0.0, li_max)
             lj = jnp.clip(jj2 - oy_f, 0.0, float(wy - 2))
-            wt = make_bilinear_onehot(li, lj, fx, fy, P, wy, wx)
-            zh = zh_dot(w4[:, nv - 2:nv], wt)             # (2, P)
-            zhr = zh.reshape(2, PS, 128)
-            zeta_p = zhr[0]
-            h_p = zhr[1]
+            if pair2:
+                fy_q = jnp.round(fy * 256.0) * jnp.float32(1.0 / 256.0)
+                wtp = make_rowpair_onehot(li, lj, fy_q, P, wy, wx)
+                zh4 = pair_dot(jnp.concatenate(
+                    [w4[:, nv - 2:nv],
+                     w4[:, ntot + nv - 2:ntot + nv]], axis=1), wtp)
+                z4 = zh4.reshape(4, PS, 128)
+                zeta_p = z4[0] + fx * (z4[2] - z4[0])
+                h_p = z4[1] + fx * (z4[3] - z4[1])
+            else:
+                wt = make_bilinear_onehot(li, lj, fx, fy, P, wy, wx)
+                zh = zh_dot(w4[:, nv - 2:nv], wt)         # (2, P)
+                zhr = zh.reshape(2, PS, 128)
+                zeta_p = zhr[0]
+                h_p = zhr[1]
             above = z1 > zeta_p
             z1r = jnp.where(above, 2.0 * zeta_p - z1, z1)
             below = z1r < -h_p

@@ -280,6 +280,46 @@ def make_cell_onehot(li, lj, P: int, wy: int = WY, wx: int = WX):
             * pltpu.repeat(coh, wy, 0))
 
 
+def make_rowpair_onehot(li, lj, fy_q, P: int, wy: int = WY, wx: int = WX):
+    """Row-blending one-hot for the pair2 scheme, built in bf16.
+
+    Entries are {0, 1-fy_q, fy_q} with fy_q on the 1/256 lattice —
+    EXACTLY representable in bf16 (k/256 and (256-k)/256 both need at
+    most 8 significand bits), so bf16 matmul passes lose nothing on the
+    weight side, and the four bilinear weights still sum to exactly 1
+    (no Σw≠1 absolute-error term — the flaw of plain bf16 weights).
+    The x-corner selection is exact {0,1}; fx blends post-matmul on the
+    VPU in f32 (pair-packed windows deliver both x-corners per row).
+    """
+    li_l = li.reshape(1, P)
+    lj_l = lj.reshape(1, P)
+    fy_l = fy_q.reshape(1, P)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (wy, P), 0).astype(jnp.float32)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (wx, P), 0).astype(jnp.float32)
+    roh = (jnp.where(rr == lj_l, 1.0 - fy_l, 0.0)
+           + jnp.where(rr == lj_l + 1.0, fy_l, 0.0)).astype(jnp.bfloat16)
+    coh = jnp.where(cc == li_l, 1.0, 0.0).astype(jnp.bfloat16)
+    return (jnp.broadcast_to(roh[:, None, :], (wy, wx, P))
+            .reshape(wy * wx, P) * pltpu.repeat(coh, wy, 0))
+
+
+def pair_dot(win, wt_bf16):
+    """(wc, HLp) f32 x (wc, P) bf16 one-hot -> (HLp, P) f32 in 2 bf16
+    passes: the window splits hi/lo (wh + wl carries ~16 value bits),
+    the weights are bf16-exact by construction (make_rowpair_onehot).
+    Relative error ~2^-16 — hilo3 quality at 2/3 the MXU passes."""
+    dims = (((0,), (0,)), ((), ()))
+    wh = win.astype(jnp.bfloat16)
+    wl = (win - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(a):
+        return jax.lax.dot_general(
+            a, wt_bf16, dimension_numbers=dims,
+            preferred_element_type=jnp.float32)
+
+    return d(wh) + d(wl)
+
+
 def blend_dot_fn(precision):
     """(WC, HL) x (WC, P) -> (HL, P) one-hot blend matmul builder.
 
@@ -316,14 +356,19 @@ def blend_dot_fn(precision):
 
 def make_stage_eval(grid: Grid, sigma: float, nv: int, HL: int,
                     p_block: int, precision, window=(WY, WX),
-                    fast_math: bool = False):
+                    fast_math: bool = False, ntot: "int | None" = None):
     """Build the shared find_currents evaluator for fused kernels.
 
     Returns ``stage_eval(par_ref, oy_f, ox_f, win, xv, yv, zv, oob)``
     where ``win`` is a (wy*wx, HL) f32 *value* (callers read/collapse
-    their VMEM window refs).  ``precision``: see blend_dot_fn;
-    ``window``: (wy, wx) VMEM window cell extent; ``fast_math``: see
-    _recip_fn.
+    their VMEM window refs).  ``precision``: see blend_dot_fn, plus
+    "pair2" — pair-packed windows ([cell | east] lanes,
+    packed.build_record_tables(paired=True)), row-blending bf16-exact
+    one-hot (make_rowpair_onehot), 2 MXU passes, fx blended post-matmul
+    in f32; ``window``: (wy, wx) VMEM window cell extent; ``fast_math``:
+    see _recip_fn; ``ntot``: data lanes per cell (pair stride for
+    pair2; defaults to nv — pass the aks-extended count when the
+    tables carry Aks lanes).
     """
     P = p_block
     PS = P // 128
@@ -332,8 +377,10 @@ def make_stage_eval(grid: Grid, sigma: float, nv: int, HL: int,
     nx, ny = grid.nx, grid.ny
     gs, c_off, c_diag = _gs_fns(sigma)
     vt = grid.vtransform
-    blend_dot = blend_dot_fn(precision)
+    pair2 = precision == "pair2"
+    blend_dot = None if pair2 else blend_dot_fn(precision)
     recip = _recip_fn(fast_math)
+    nt = nv if ntot is None else ntot
 
     def stage_eval(par_ref, oy_f, ox_f, win, xv, yv, zv, oob,
                    extras: bool = False):
@@ -347,21 +394,32 @@ def make_stage_eval(grid: Grid, sigma: float, nv: int, HL: int,
         fy = jnp.clip(ty - j, 0.0, 1.0)
         li = i - ox_f
         lj = j - oy_f
-        bad = ((li < 0.0) | (li > float(wx - 2))
+        # pair2 rows carry the east corner in-lane, so li may reach the
+        # window's last column; bilinear needs li+1 in-window
+        li_max = float(wx - 1) if pair2 else float(wx - 2)
+        bad = ((li < 0.0) | (li > li_max)
                | (lj < 0.0) | (lj > float(wy - 2)))
         oob = oob | bad
-        li = jnp.clip(li, 0.0, float(wx - 2))
+        li = jnp.clip(li, 0.0, li_max)
         lj = jnp.clip(lj, 0.0, float(wy - 2))
-
-        wt = make_bilinear_onehot(li, lj, fx, fy, P, wy, wx)
 
         # --- MXU gather+blend -------------------------------------------
         # callers pre-slice win to the 64-lane multiple covering the
         # data lanes (the rest of the 128-lane table width is DMA
         # padding) — half the MXU passes for us=20 (nv=63 -> 64 lanes)
         HLc = win.shape[-1]
-        blended = blend_dot(win, wt)                          # (HLc, P)
-        bl = blended.reshape(HLc, PS, 128)
+        if pair2:
+            fy_q = jnp.round(fy * 256.0) * jnp.float32(1.0 / 256.0)
+            wt = make_rowpair_onehot(li, lj, fy_q, P, wy, wx)
+            blended = pair_dot(win, wt)                   # (HLc, P)
+            blv = blended.reshape(HLc, PS, 128)
+            # fx blend of the two in-row x-corners, full f32 on the VPU
+            bl = [blv[k] + fx * (blv[nt + k] - blv[k]) for k in range(nt)]
+        else:
+            wt = make_bilinear_onehot(li, lj, fx, fy, P, wy, wx)
+            blended = blend_dot(win, wt)                      # (HLc, P)
+            bla = blended.reshape(HLc, PS, 128)
+            bl = [bla[k] for k in range(HLc)]
 
         zeta = bl[nv - 2]
         h = bl[nv - 1]

@@ -599,14 +599,28 @@ def zeta_h_records(grid: Grid, rft: RecordsFlat, x, y, t):
     return zeta_p.astype(dtype), h_p.astype(dtype)
 
 
-def build_record_tables(grid: Grid, rec: PackedRecords) -> jax.Array:
+def build_record_tables(grid: Grid, rec: PackedRecords,
+                        paired: bool = False) -> jax.Array:
     """(3, Ny, Nx, HL) f32 raw record value tables for the external-step
     kernel (ltjax.kernels.ext_step) — no time collapse (the kernel
     collapses its VMEM windows per stage), lanes padded to a
-    128-multiple (window-DMA minor-dim tiling requirement)."""
-    us, ws = grid.us, grid.ws
+    128-multiple (window-DMA minor-dim tiling requirement).
+
+    ``paired``: row (j, i) carries [cell (j,i) lanes | cell (j,i+1)
+    lanes] (the east x-corner; the last column pairs with itself).
+    This feeds the "pair2" blend scheme (ltjax.kernels.gather_interp):
+    the one-hot matmul then selects/fy-blends ROWS only and delivers
+    BOTH x-corners per pass — for us=20 the 63 value lanes were padded
+    to a 128-lane MXU output tile anyway, so the east corner rides in
+    otherwise-wasted M columns.
+    """
     tab = rec.tab.astype(jnp.float32)                 # (3, C, ntot)
     three, C, L = tab.shape
+    if paired:
+        t3 = tab.reshape(three, grid.ny, grid.nx, L)
+        east = jnp.concatenate([t3[:, :, 1:], t3[:, :, -1:]], axis=2)
+        tab = jnp.concatenate([t3, east], axis=-1).reshape(three, C, 2 * L)
+        L = 2 * L
     HL = ((L + 127) // 128) * 128
     pad = jnp.zeros((three, C, HL - L), jnp.float32)
     return jnp.concatenate([tab, pad], axis=-1).reshape(

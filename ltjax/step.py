@@ -62,7 +62,16 @@ def make_params(cfg: Config):
 def _precision(cfg: Config):
     return {"highest": jax.lax.Precision.HIGHEST,
             "hilo3": "hilo3",
+            "pair2": "pair2",
             "default": jax.lax.Precision.DEFAULT}[cfg.kernel_precision]
+
+
+def _per_step_precision(cfg: Config):
+    """The per-internal-step kernel (gather_interp) consumes stage
+    VALUE tables, which are not pair-packed — map pair2 to its
+    precision equal hilo3 there."""
+    p = _precision(cfg)
+    return "hilo3" if p == "pair2" else p
 
 
 def _rk4_fused_padded(grid: Grid, vtabs, x, y, z, sigma: float, z0m: float,
@@ -131,7 +140,7 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
     if fast and mode == "kernel":
         dxa, dya, dza, adv_err = _rk4_fused_padded(
             grid, tabs, p.x, p.y, p.z, cfg.tension_sigma, cfg.z0,
-            float(cfg.idt), cfg.kernel_block, _precision(cfg),
+            float(cfg.idt), cfg.kernel_block, _per_step_precision(cfg),
             window=(cfg.kernel_wy, cfg.kernel_wx),
             fast_math=cfg.kernel_fast_math)
     elif fast and mode == "records":
@@ -387,7 +396,8 @@ def make_fused_external_steps(ctx: StepContext, cfg: Config, base_key,
     @jax.jit
     def fused(p: st.Particles, fsR: FieldSet, t0, ext_idx0):
         prec_all = pk.build_packed_records(grid, fsR, with_aks=mega_aks)
-        rtab_all = pk.build_record_tables(grid, prec_all)
+        rtab_all = pk.build_record_tables(
+            grid, prec_all, paired=cfg.kernel_precision == "pair2")
 
         # Hilbert sort once for all n_fuse steps
         ci, _ = locate(grid.x_rho, p.x, grid.uniform)
@@ -439,7 +449,8 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
     pad = (-n) % pb
 
     if rtab is None:
-        rtab = pk.build_record_tables(grid, prec)
+        rtab = pk.build_record_tables(
+            grid, prec, paired=cfg.kernel_precision == "pair2")
     params = es.params_array_ext(grid, ctx.bounds, cfg.z0, t0,
                                  fields.times, idt, n_int,
                                  const_hturb=(cfg.ConstantHTurb
@@ -470,7 +481,8 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
         hturb_on=cfg.HTurbOn, vturb_on=cfg.VTurbOn,
         with_aks=prec.with_aks,
         window=(cfg.kernel_wy, cfg.kernel_wx),
-        fast_math=cfg.kernel_fast_math, interpret=interpret)
+        fast_math=cfg.kernel_fast_math, dma_once=cfg.kernel_dma_once,
+        interpret=interpret)
     xo, yo, zo = xo[:n], yo[:n], zo[:n]
     sto, hitl, hitb, oob = sto[:n], hitl[:n], hitb[:n], oob[:n]
 

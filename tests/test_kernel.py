@@ -211,6 +211,73 @@ def test_ext_step_fused_turbulence_matches_xla():
     assert np.array_equal(np.asarray(sto)[ok], np.asarray(pp.status)[ok])
 
 
+def test_ext_step_pair2_matches_collapsed_scan():
+    """pair2 blend scheme (pair-packed windows, bf16-exact row weights,
+    2 MXU passes, post-matmul f32 fx blend) vs the collapsed XLA scan.
+
+    Agreement bound: the row weight quantizes fy to the 1/256 lattice,
+    so velocities differ by at most (per-cell Δv)/512 — on this case
+    ~5e-4 m/s, i.e. ~1 m over 4 x 450 s internal steps.  Structural
+    bugs (lane mix-ups, pair offsets) produce 100s of meters.
+    """
+    import jax.random as jr
+    from ltjax import state as st
+    from ltjax import spatial
+    from ltjax.config import Config
+    from ltjax.kernels import ext_step as es
+    from ltjax.physics import boundary as bd
+    from ltjax.step import StepContext, boundary_s_max, internal_step
+
+    dtype = jnp.float32
+    us = 6
+    c = synth.make_solid_body_case(nx=41, ny=41, us=us, lx=100e3, ly=100e3,
+                                   h0=50.0, omega=1e-4, dtype=dtype)
+    fs = synth.fieldset_for(c, t_center=900.0, dt=1800.0, dtype=dtype)
+    grid = c.grid
+    bounds = bd.build_boundaries(np.asarray(grid.mask_rho),
+                                 np.asarray(grid.x_rho),
+                                 np.asarray(grid.y_rho))
+    ctx = StepContext(grid=grid, bounds=bounds, polys=None, holes=None)
+    cfg = Config(numpar=256, dt=1800, idt=450, us=us, ws=us + 1,
+                 OpenOceanBoundary=True, dtype_pos="float32",
+                 reflect_iters=2)
+    n_int = cfg.internal_steps
+    rng_ = np.random.default_rng(5)
+    n = 256
+    p = st.init_particles(rng_.uniform(38e3, 52e3, n),
+                          rng_.uniform(38e3, 52e3, n),
+                          rng_.uniform(-40.0, -5.0, n), dtype=dtype)
+    p = p._replace(status=jnp.full(n, st.ACTIVE, jnp.int32))
+    i, _ = locate(grid.x_rho, p.x, grid.uniform)
+    j, _ = locate(grid.y_rho, p.y, grid.uniform)
+    p, _ = spatial.sort_by_cell(p, i, j)
+
+    prec = pk.build_packed_records(grid, fs)
+    rtab = pk.build_record_tables(grid, prec, paired=True)
+    brows = jnp.asarray(es.boundary_rows_table(bounds, grid.ny, grid.nx))
+    params = es.params_array_ext(grid, bounds, cfg.z0, 0.0, fs.times,
+                                 float(cfg.idt), n_int)
+    xo, yo, zo, sto, hitl, hitb, oob = es.ext_step_fused(
+        grid, rtab, brows, params, p.x, p.y, p.z, p.dob, p.status,
+        0.0, n_int, float(cfg.idt), n_iter=2, p_block=256,
+        s_max=boundary_s_max(bounds), precision="pair2",
+        open_exits=True, dma_once=True, interpret=True)
+
+    pp = p
+    for ii in range(n_int):
+        pp = internal_step(ctx, cfg, jr.key(0), pp, fs,
+                           ii * float(cfg.idt), ii, prec, mode="collapsed")
+    ok = ~np.asarray(oob)
+    assert ok.sum() > 0.9 * n
+    np.testing.assert_allclose(np.asarray(xo)[ok], np.asarray(pp.x)[ok],
+                               rtol=0, atol=2.0)
+    np.testing.assert_allclose(np.asarray(yo)[ok], np.asarray(pp.y)[ok],
+                               rtol=0, atol=2.0)
+    np.testing.assert_allclose(np.asarray(zo)[ok], np.asarray(pp.z)[ok],
+                               rtol=0, atol=0.05)
+    assert np.array_equal(np.asarray(sto)[ok], np.asarray(pp.status)[ok])
+
+
 def test_fused_multi_step_matches_sequential():
     """make_fused_external_steps(n_fuse=2) over a 4-record window must
     equal two sequential 1-step fused calls on the rotating 3-record
