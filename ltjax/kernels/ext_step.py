@@ -62,6 +62,8 @@ _IDX_T0 = 10       # external-step start time [s]
 _IDX_IDT = 11      # internal step [s]
 _IDX_HSCALE = 12   # sqrt(2 * ConstantHTurb * idt)
 _IDX_VCONST = 13   # sqrt(2 * ConstantVTurb * idt / r_var), r_var = 1/3
+_IDX_SINKDZ = 14   # -sink * idt (behavior type 6 constant sinking)
+_IDX_DEADAGE = 15  # mortality age threshold [s] (inf when off)
 _REFLECT_EPS = 1e-6
 
 
@@ -72,7 +74,9 @@ def _head_len(us: int, ws: int) -> int:
 def params_array_ext(grid: Grid, bounds: Boundaries, z0m: float,
                      t0, times, idt: float, n_int: int,
                      const_hturb: float = 0.0,
-                     const_vturb: float = 0.0) -> jax.Array:
+                     const_vturb: float = 0.0,
+                     sink: float = 0.0,
+                     deadage: float = np.inf) -> jax.Array:
     """SMEM params: head scalars + s/Cs pairs + per-(step, stage)
     polintd coefficients (n_int * 9 floats; stage times are
     t0 + i*idt + {0, idt/2, idt})."""
@@ -94,6 +98,8 @@ def params_array_ext(grid: Grid, bounds: Boundaries, z0m: float,
     head[_IDX_INVBDY] = 1.0 / (ye[1] - ye[0])
     head[_IDX_HSCALE] = np.sqrt(2.0 * const_hturb * idt)
     head[_IDX_VCONST] = np.sqrt(2.0 * const_vturb * idt * 3.0)
+    head[_IDX_SINKDZ] = -sink * idt
+    head[_IDX_DEADAGE] = deadage
     inter = np.empty(2 * (us + ws), np.float64)
     inter[0:2 * us:2] = np.asarray(grid.s_rho, np.float64)
     inter[1:2 * us:2] = np.asarray(grid.Cs_r, np.float64)
@@ -147,6 +153,7 @@ def boundary_rows_table(bounds: Boundaries, ny: int, nx: int) -> np.ndarray:
 # status codes (must mirror ltjax.state)
 _NOT_RELEASED = 0
 _ACTIVE = 1
+_DEAD = 3
 _OUT_OF_DOMAIN = 4
 _ERROR = 5
 
@@ -156,7 +163,8 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                      p_block: int, precision, open_exits: bool,
                      s_max: int, hturb_on: bool, vturb_on: bool,
                      vturb_aks: bool, window=(WY, WX),
-                     fast_math: bool = False, dma_once: bool = False):
+                     fast_math: bool = False, dma_once: bool = False,
+                     sink_on: bool = False, mortality: bool = False):
     P = p_block
     PS = P // 128
     wy, wx = window
@@ -445,6 +453,11 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                 else:
                     z1 = z1 + R * par_ref[_IDX_VCONST]
 
+            if sink_on:
+                # behavior type 6: constant sinking velocity
+                # (behavior_module.f90 `sink`, SURVEY.md SS2.1 #8)
+                z1 = z1 + par_ref[_IDX_SINKDZ]
+
             # horizontal boundary reflection (skipped when the window
             # holds no segments — interior blocks)
             any_seg = jnp.max(wbd[:, :, 13]) > 0.5
@@ -509,6 +522,16 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
             zv = jnp.where(act, zr, zv)
             st = jnp.where(act & exited, _OUT_OF_DOMAIN, st)
             st = jnp.where(act & stuck, _ERROR, st)
+            if mortality:
+                # deterministic death at deadage (mirrors
+                # ltjax.physics.behavior; [conf: M] — see its docstring);
+                # the XLA path tests the PRE-step age (behave() sees
+                # p.age = t_i - dob), and DEAD overrides a same-step
+                # stuck ERROR but not an exit, matching internal_step's
+                # status-update order
+                age_pre = t_i - dob
+                dies = act & ~exited & (age_pre >= par_ref[_IDX_DEADAGE])
+                st = jnp.where(dies, _DEAD, st)
             return xv, yv, zv, st, hitl, hitb, oob.astype(jnp.int32)
 
         xv, yv, zv, st, hitl, hitb, oobi = jax.lax.fori_loop(
@@ -537,6 +560,7 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
                    with_aks: bool = False,
                    window=(WY, WX), fast_math: bool = False,
                    dma_once: bool = False,
+                   sink_on: bool = False, mortality: bool = False,
                    interpret: bool = False):
     """Run one full external step in-kernel.
 
@@ -575,7 +599,8 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
                             hturb_on=hturb_on, vturb_on=vturb_on,
                             vturb_aks=vturb_on and with_aks,
                             window=window, fast_math=fast_math,
-                            dma_once=dma_once)
+                            dma_once=dma_once, sink_on=sink_on,
+                            mortality=mortality)
 
     fshape = jax.ShapeDtypeStruct((B, PS, 128), jnp.float32)
     ishape = jax.ShapeDtypeStruct((B, PS, 128), jnp.int32)

@@ -296,11 +296,12 @@ def mode_flags(ctx: StepContext, cfg: Config):
                   and cfg.dtype_pos == "float32"
                   and jax.default_backend() == "tpu")
     # the whole-external-step megakernel covers advection + boundary +
-    # turbulence (in-kernel Threefry streams identical to ltjax.rng);
-    # runs with behavior/settlement/sampling drop to the per-step
-    # kernel (advection fused, the rest XLA)
+    # turbulence (in-kernel Threefry streams identical to ltjax.rng),
+    # plus behavior type 6 (constant sinking) and mortality; runs with
+    # other behavior types, settlement, or sampling drop to the
+    # per-step kernel (advection fused, the rest XLA)
     use_mega = (use_kernel
-                and cfg.Behavior == 0 and not cfg.mortality
+                and cfg.Behavior in (0, 6)
                 and not cfg.settlementon and not cfg.SaltTempOn)
     return use_fast, use_kernel, use_mega
 
@@ -456,7 +457,11 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
                                  const_hturb=(cfg.ConstantHTurb
                                               if cfg.HTurbOn else 0.0),
                                  const_vturb=(cfg.ConstantVTurb
-                                              if cfg.VTurbOn else 0.0))
+                                              if cfg.VTurbOn else 0.0),
+                                 sink=(cfg.sink if cfg.Behavior == 6
+                                       else 0.0),
+                                 deadage=(cfg.deadage if cfg.mortality
+                                          else float("inf")))
     rngk = (es.rng_keys_array(base_key, ext_idx, n_int)
             if (cfg.HTurbOn or cfg.VTurbOn) else None)
 
@@ -482,6 +487,7 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
         with_aks=prec.with_aks,
         window=(cfg.kernel_wy, cfg.kernel_wx),
         fast_math=cfg.kernel_fast_math, dma_once=cfg.kernel_dma_once,
+        sink_on=cfg.Behavior == 6, mortality=cfg.mortality,
         interpret=interpret)
     xo, yo, zo = xo[:n], yo[:n], zo[:n]
     sto, hitl, hitb, oob = sto[:n], hitl[:n], hitb[:n], oob[:n]
