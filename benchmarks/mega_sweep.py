@@ -40,6 +40,8 @@ prec = jax.block_until_ready(jax.jit(
     lambda: pk.build_packed_records(grid, fs))())
 rtab = jax.block_until_ready(jax.jit(
     lambda: pk.build_record_tables(grid, prec))())
+rtab_p = jax.block_until_ready(jax.jit(
+    lambda: pk.build_record_tables(grid, prec, paired=True))())
 brows = jnp.asarray(es.boundary_rows_table(ctx.bounds, grid.ny, grid.nx))
 s_max = boundary_s_max(ctx.bounds)
 params = es.params_array_ext(grid, ctx.bounds, cfg.z0, 0.0, fs.times,
@@ -50,7 +52,7 @@ ps, _ = sp.sort_by_cell(p, ci, cj)
 ps = jax.block_until_ready(ps)
 
 
-def run_combo(wy, wx, pb, precision, fast_math, dma_once=False, reps=5):
+def run_combo(wy, wx, pb, precision, fast_math, dma_every=1, reps=5):
     pad = (-N) % pb
 
     def padded(a, fill=None):
@@ -59,15 +61,18 @@ def run_combo(wy, wx, pb, precision, fast_math, dma_once=False, reps=5):
         tailv = a[-1:] if fill is None else jnp.full((1,), fill, a.dtype)
         return jnp.concatenate([a, jnp.broadcast_to(tailv, (pad,))])
 
+    paired = precision == "pair2"
+    rt = rtab_p if paired else rtab
+
     @jax.jit
     def f(xx, yy, zz, dob, status, pid):
         return es.ext_step_fused(
-            grid, rtab, brows, params, xx, yy, zz, dob, status,
+            grid, rt, brows, params, xx, yy, zz, dob, status,
             cfg.tension_sigma, n_int, idt, n_iter=cfg.reflect_iters,
             p_block=pb, s_max=s_max, precision=precision,
             open_exits=cfg.OpenOceanBoundary, pids=pid, rngk=None,
             hturb_on=False, vturb_on=False, with_aks=False,
-            window=(wy, wx), fast_math=fast_math, dma_once=dma_once)
+            window=(wy, wx), fast_math=fast_math, dma_every=dma_every)
 
     args = (padded(ps.x), padded(ps.y), padded(ps.z),
             padded(ps.dob, jnp.inf), padded(ps.status, st.NOT_RELEASED),
@@ -83,27 +88,27 @@ def run_combo(wy, wx, pb, precision, fast_math, dma_once=False, reps=5):
 
 
 COMBOS = [
-    # (wy, wx, p_block, precision_name, fast_math, dma_once)
-    (16, 16, 2048, "hilo3", True, True),
-    (16, 16, 2048, "default", True, True),
-    (16, 16, 4096, "hilo3", True, True),
-    (16, 16, 4096, "default", True, True),
-    (24, 24, 4096, "hilo3", True, True),
-    (16, 16, 2048, "hilo3", True, False),   # round-2-style per-step DMA
+    # (wy, wx, p_block, precision_name, fast_math, dma_every)
+    (16, 16, 4096, "pair2", True, 4),
+    (16, 16, 4096, "pair2", True, 1),
+    (16, 16, 2048, "pair2", True, 4),
+    (16, 16, 4096, "hilo3", True, 4),
+    (16, 16, 4096, "default", True, 4),
 ]
 
 print(f"N={N} n_int={n_int} (one ext step, kernel only)")
-for wy, wx, pb, pname, fm, donce in COMBOS:
+for wy, wx, pb, pname, fm, de in COMBOS:
     from ltjax.config import Config
-    pr = {"hilo3": "hilo3", "default": jax.lax.Precision.DEFAULT,
+    pr = {"hilo3": "hilo3", "pair2": "pair2",
+          "default": jax.lax.Precision.DEFAULT,
           "highest": jax.lax.Precision.HIGHEST}[pname]
     try:
-        dt_s, oob = run_combo(wy, wx, pb, pr, fm, donce)
+        dt_s, oob = run_combo(wy, wx, pb, pr, fm, de)
         rate = N * n_int / dt_s
         print(f"w={wy}x{wx} pb={pb:5d} {pname:7s} fm={int(fm)} "
-              f"d1={int(donce)}: {dt_s*1e3:7.2f} ms  "
+              f"de={de}: {dt_s*1e3:7.2f} ms  "
               f"{rate/1e6:7.1f} M steps/s  oob={oob*100:.3f}%")
     except Exception as e:  # noqa: BLE001 — sweep survives bad combos
         print(f"w={wy}x{wx} pb={pb:5d} {pname:7s} fm={int(fm)} "
-              f"d1={int(donce)}: FAILED {type(e).__name__}: {str(e)[:200]}")
+              f"de={de}: FAILED {type(e).__name__}: {str(e)[:200]}")
     sys.stdout.flush()

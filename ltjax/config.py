@@ -163,10 +163,11 @@ class Config:
     kernel_fast_math: bool = True # kernel divides via approx-reciprocal
                                   #   + 2 Newton steps (~1-2 ulp of an
                                   #   exact f32 divide)
-    kernel_dma_once: bool = True  # megakernel fetches its VMEM windows
-                                  #   once per external step (block
-                                  #   drift ~0.4 cells/ext step) instead
-                                  #   of every internal step
+    kernel_dma_every: int = 4     # megakernel window-DMA refresh cadence
+                                  #   in internal steps (blocks drift
+                                  #   ~v*idt/cell ~ 0.3 cells per step;
+                                  #   a few steps stay inside the window
+                                  #   margin); 1 = refresh every step
     ext_fuse: int = 4             # external steps fused per compiled
                                   #   call on the megakernel path (the
                                   #   field window holds ext_fuse + 2

@@ -71,15 +71,15 @@ def _head_len(us: int, ws: int) -> int:
     return _IDX_SC0 + 2 * (us + ws)
 
 
-def params_array_ext(grid: Grid, bounds: Boundaries, z0m: float,
-                     t0, times, idt: float, n_int: int,
-                     const_hturb: float = 0.0,
-                     const_vturb: float = 0.0,
-                     sink: float = 0.0,
-                     deadage: float = np.inf) -> jax.Array:
-    """SMEM params: head scalars + s/Cs pairs + per-(step, stage)
-    polintd coefficients (n_int * 9 floats; stage times are
-    t0 + i*idt + {0, idt/2, idt})."""
+def params_static_ext(grid: Grid, bounds: Boundaries, z0m: float,
+                      idt: float,
+                      const_hturb: float = 0.0,
+                      const_vturb: float = 0.0,
+                      sink: float = 0.0,
+                      deadage: float = np.inf) -> np.ndarray:
+    """Static (host-precomputable) part of the kernel params: head
+    scalars + interleaved s/Cs pairs.  Per-tile variants for the
+    sharded megakernel overwrite the eta-origin slots (Y0 / BY0)."""
     us, ws = grid.us, grid.ws
     x = np.asarray(grid.x_rho, np.float64)
     y = np.asarray(grid.y_rho, np.float64)
@@ -100,16 +100,23 @@ def params_array_ext(grid: Grid, bounds: Boundaries, z0m: float,
     head[_IDX_VCONST] = np.sqrt(2.0 * const_vturb * idt * 3.0)
     head[_IDX_SINKDZ] = -sink * idt
     head[_IDX_DEADAGE] = deadage
+    head[_IDX_IDT] = idt
     inter = np.empty(2 * (us + ws), np.float64)
     inter[0:2 * us:2] = np.asarray(grid.s_rho, np.float64)
     inter[1:2 * us:2] = np.asarray(grid.Cs_r, np.float64)
     inter[2 * us::2] = np.asarray(grid.s_w, np.float64)
     inter[2 * us + 1::2] = np.asarray(grid.Cs_w, np.float64)
-    static = jnp.asarray(np.concatenate([head, inter]), jnp.float32)
-    static = static.at[_IDX_T0].set(jnp.asarray(t0, jnp.float32))
-    static = static.at[_IDX_IDT].set(jnp.float32(idt))
+    return np.concatenate([head, inter]).astype(np.float32)
 
-    # polintd Lagrange coefficients at every stage time (f64 -> f32)
+
+def finish_params(static, t0, times, idt: float, n_int: int) -> jax.Array:
+    """Append the dynamic params: start time + per-(step, stage)
+    polintd Lagrange coefficients (n_int * 9 floats; stage times are
+    t0 + i*idt + {0, idt/2, idt}).  ``static`` may be a host array or a
+    traced per-tile row inside shard_map."""
+    static = jnp.asarray(static, jnp.float32)
+    static = static.at[_IDX_T0].set(jnp.asarray(t0, jnp.float32))
+
     tdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     tt = jnp.asarray(times, tdt)
     ii = jnp.arange(n_int, dtype=tdt)
@@ -122,6 +129,21 @@ def params_array_ext(grid: Grid, bounds: Boundaries, z0m: float,
     l2 = (ts - t0r) * (ts - t1r) / ((t2r - t0r) * (t2r - t1r))
     coef = jnp.stack([l0, l1, l2], axis=-1).reshape(-1).astype(jnp.float32)
     return jnp.concatenate([static, coef])
+
+
+def params_array_ext(grid: Grid, bounds: Boundaries, z0m: float,
+                     t0, times, idt: float, n_int: int,
+                     const_hturb: float = 0.0,
+                     const_vturb: float = 0.0,
+                     sink: float = 0.0,
+                     deadage: float = np.inf) -> jax.Array:
+    """SMEM params: head scalars + s/Cs pairs + dynamic tail
+    (finish_params)."""
+    static = params_static_ext(grid, bounds, z0m, idt,
+                               const_hturb=const_hturb,
+                               const_vturb=const_vturb,
+                               sink=sink, deadage=deadage)
+    return finish_params(static, t0, times, idt, n_int)
 
 
 def rng_keys_array(base_key, ext_idx, n_int: int) -> jax.Array:
@@ -163,7 +185,7 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                      p_block: int, precision, open_exits: bool,
                      s_max: int, hturb_on: bool, vturb_on: bool,
                      vturb_aks: bool, window=(WY, WX),
-                     fast_math: bool = False, dma_once: bool = False,
+                     fast_math: bool = False, dma_every: int = 1,
                      sink_on: bool = False, mortality: bool = False):
     P = p_block
     PS = P // 128
@@ -337,7 +359,6 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
         hitl = jnp.zeros((PS, 128), jnp.int32)
         hitb = jnp.zeros((PS, 128), jnp.int32)
         oob = jnp.zeros((PS, 128), jnp.bool_)
-        oy0 = ox0 = None
 
         def origin(xv, yv, oob):
             """Window origin tracking the mean of in-window particles
@@ -356,21 +377,31 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                           max(ny - wy, 0))
             return oy, ox
 
-        if dma_once:
-            # one window DMA for the whole external step: the block
-            # mean drifts ~v*dt/cell ~ O(0.4) cells per external step,
-            # far inside the window margin — per-step re-DMA (and the
-            # per-step mean reduction) was ~25% of kernel time
-            oy0, ox0 = origin(xv, yv, oob)
-            dma_windows(oy0, ox0)
+        oy_i, ox_i = origin(xv, yv, oob)
+        dma_windows(oy_i, ox_i)
 
         def body(i, carry):
             # oob rides as int32: Mosaic cannot legalize i1-vector loop
             # carries (scf.for legalization failure, observed on v5e)
-            xv, yv, zv, st, hitl, hitb, oobi = carry
+            xv, yv, zv, st, hitl, hitb, oobi, oy, ox = carry
             oob = oobi != 0
-            if dma_once:
-                oy, ox = oy0, ox0
+            if dma_every > 1:
+                # refresh the windows only every dma_every steps: the
+                # block mean drifts ~v*idt/cell ~ O(0.3) cells per
+                # internal step, so a few steps stay well inside the
+                # window margin; per-step re-DMA was ~10% of kernel time
+                def refresh(args):
+                    xv_, yv_, oob_ = args
+                    oy_, ox_ = origin(xv_, yv_, oob_ != 0)
+                    dma_windows(oy_, ox_)
+                    return oy_, ox_
+
+                def keep(args):
+                    return oy, ox
+
+                oy, ox = jax.lax.cond(
+                    jnp.logical_and(i > 0, i % dma_every == 0),
+                    refresh, keep, (xv, yv, oobi))
             else:
                 oy, ox = origin(xv, yv, oob)
                 dma_windows(oy, ox)
@@ -532,11 +563,13 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                 age_pre = t_i - dob
                 dies = act & ~exited & (age_pre >= par_ref[_IDX_DEADAGE])
                 st = jnp.where(dies, _DEAD, st)
-            return xv, yv, zv, st, hitl, hitb, oob.astype(jnp.int32)
+            return (xv, yv, zv, st, hitl, hitb, oob.astype(jnp.int32),
+                    oy, ox)
 
-        xv, yv, zv, st, hitl, hitb, oobi = jax.lax.fori_loop(
+        xv, yv, zv, st, hitl, hitb, oobi, _, _ = jax.lax.fori_loop(
             0, n_int, body,
-            (xv, yv, zv, st, hitl, hitb, oob.astype(jnp.int32)))
+            (xv, yv, zv, st, hitl, hitb, oob.astype(jnp.int32),
+             oy_i, ox_i))
         oob = oobi != 0
         xo_ref[0] = xv
         yo_ref[0] = yv
@@ -559,7 +592,7 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
                    hturb_on: bool = False, vturb_on: bool = False,
                    with_aks: bool = False,
                    window=(WY, WX), fast_math: bool = False,
-                   dma_once: bool = False,
+                   dma_every: int = 1,
                    sink_on: bool = False, mortality: bool = False,
                    interpret: bool = False):
     """Run one full external step in-kernel.
@@ -599,7 +632,7 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
                             hturb_on=hturb_on, vturb_on=vturb_on,
                             vturb_aks=vturb_on and with_aks,
                             window=window, fast_math=fast_math,
-                            dma_once=dma_once, sink_on=sink_on,
+                            dma_every=dma_every, sink_on=sink_on,
                             mortality=mortality)
 
     fshape = jax.ShapeDtypeStruct((B, PS, 128), jnp.float32)

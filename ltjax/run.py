@@ -319,7 +319,11 @@ def run_sharded(cfg: Config, resume: bool = False,
     mesh = shard.make_mesh(spec)
     tiled = shard.build_tiled_static(grid, spec)
     base_key = jr.key(cfg.seed)
-    step = shard.make_tiled_step(ctx, cfg, spec, tiled, mesh, base_key)
+    from .step import mode_flags as _mf
+    mega = (shard.build_mega_tiled(ctx, cfg, spec)
+            if _mf(ctx, cfg)[2] else None)
+    step = shard.make_tiled_step(ctx, cfg, spec, tiled, mesh, base_key,
+                                 mega=mega)
 
     start_ext = 0
     resumed_extra = None

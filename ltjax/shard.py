@@ -37,11 +37,13 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from . import packed as _pk
+from . import spatial as _sp
 from . import state as st
 from .config import Config
 from .fields import FieldSet
-from .grid import Grid
-from .step import StepContext, internal_step
+from .grid import Grid, locate
+from .step import (StepContext, _mega_external_step, boundary_s_max,
+                   internal_step, mode_flags)
 
 EMPTY = -1  # status code for an unoccupied particle slot
 
@@ -63,6 +65,56 @@ class TileSpec(NamedTuple):
     @property
     def ny_ext(self) -> int:
         return self.ny_loc + 2 * self.halo
+
+
+class MegaTiled(NamedTuple):
+    """Per-tile static operands for the sharded megakernel."""
+    brows_t: jax.Array   # (ntiles, ny_ext, nx, BL) boundary cell rows
+    pstat_t: jax.Array   # (ntiles, L) static kernel params (tile Y0/BY0)
+
+
+def build_mega_tiled(ctx: StepContext, cfg: Config,
+                     spec: TileSpec) -> MegaTiled:
+    """Precompute per-tile boundary-row strips + static kernel params
+    for running the whole-external-step megakernel inside shard_map.
+
+    Boundary strips include the halo rows (particles may be up to
+    ``halo`` rows outside their strip mid-external-step — they migrate
+    only at step end — and must still reflect off real segments there);
+    rim tiles edge-replicate, matching pad_eta semantics.  The params
+    rows override the eta origins (Y0 / BY0) with each tile's local
+    strip origin so the kernel's arithmetic locate lands in the strip
+    tables.
+    """
+    from .kernels import ext_step as es
+
+    grid, bounds = ctx.grid, ctx.bounds
+    H, ny_loc, ntiles = spec.halo, spec.ny_loc, spec.ntiles
+    brows = es.boundary_rows_table(bounds, grid.ny, grid.nx)
+    strips = []
+    for t in range(ntiles):
+        r0 = t * ny_loc - H
+        idx = np.clip(np.arange(r0, r0 + spec.ny_ext), 0, grid.ny - 1)
+        strips.append(brows[idx])
+    brows_t = np.stack(strips)
+
+    pstat = es.params_static_ext(
+        grid, bounds, cfg.z0, float(cfg.idt),
+        const_hturb=cfg.ConstantHTurb if cfg.HTurbOn else 0.0,
+        const_vturb=cfg.ConstantVTurb if cfg.VTurbOn else 0.0,
+        sink=cfg.sink if cfg.Behavior == 6 else 0.0,
+        deadage=cfg.deadage if cfg.mortality else float("inf"))
+    y = np.asarray(grid.y_rho, np.float64)
+    dy = y[1] - y[0]
+    ye = np.asarray(bounds.y_edges, np.float64)
+    dye = ye[1] - ye[0]
+    pstat_t = np.tile(pstat, (ntiles, 1))
+    for t in range(ntiles):
+        r0 = t * ny_loc - H
+        pstat_t[t, es._IDX_Y0] = y[0] + r0 * dy
+        pstat_t[t, es._IDX_BY0] = ye[0] + r0 * dye
+    return MegaTiled(brows_t=jnp.asarray(brows_t),
+                     pstat_t=jnp.asarray(pstat_t))
 
 
 class TiledStatic(NamedTuple):
@@ -321,18 +373,31 @@ def _migrate(p: st.Particles, spec: TileSpec, tile_edges, x_mid, y_mid,
 # ---------------------------------------------------------------------------
 
 def make_tiled_step(ctx: StepContext, cfg: Config, spec: TileSpec,
-                    tiled: TiledStatic, mesh: Mesh, base_key):
+                    tiled: TiledStatic, mesh: Mesh, base_key,
+                    mega: "MegaTiled | None" = None,
+                    interpret: bool = False):
     """Compile one multi-chip external step.
 
     (particles (ndp, ntiles, cap), padded FieldSet, t0, ext_idx)
       -> (particles', overflow (ndp, ntiles))
 
-    One shard_map: halo-exchange fields -> scan internal steps on the
-    local particle slots with a per-tile local Grid -> migrate.
+    One shard_map: halo-exchange fields -> advance the local particle
+    slots one external step with a per-tile local Grid -> migrate.
+
+    When the configuration takes the megakernel path (step.mode_flags)
+    and ``mega`` (build_mega_tiled) is provided, the per-tile advance
+    IS the whole-external-step Pallas kernel — per-tile Hilbert sort,
+    window DMAs from per-tile record tables, in-kernel reflection off
+    the tile's boundary-row strip, exact oob patch — so multi-chip
+    runs keep the fused-kernel speedup (``interpret=True`` runs the
+    same program on the CPU mesh for cluster-free testing).
     """
     grid = ctx.grid
     n_int = cfg.internal_steps
     idt = float(cfg.idt)
+    use_mega = mega is not None and (interpret or mode_flags(ctx, cfg)[2])
+    mega_aks = cfg.VTurbOn and cfg.readAks
+    s_max = boundary_s_max(ctx.bounds) if use_mega else 0
 
     fs_specs = FieldSet(
         zeta=P(None, "tile", None), u=P(None, "tile", None, None),
@@ -346,7 +411,10 @@ def make_tiled_step(ctx: StepContext, cfg: Config, spec: TileSpec,
         mask_rho_t=P("tile"), mask_u_t=P("tile"), mask_v_t=P("tile"),
         tile_edges=P())
 
-    def body(pbuf, fs, ts, t0, ext_idx):
+    mega_specs = (MegaTiled(brows_t=P("tile"), pstat_t=P("tile"))
+                  if use_mega else None)
+
+    def body(pbuf, fs, ts, mg, t0, ext_idx):
         # --- halo-extend the local field strips --------------------------
         ext = functools.partial(_halo_extend, halo=spec.halo,
                                 ntiles=spec.ntiles, axis_name="tile")
@@ -368,15 +436,30 @@ def make_tiled_step(ctx: StepContext, cfg: Config, spec: TileSpec,
 
         p = jax.tree.map(lambda a: a.reshape(a.shape[2:]), pbuf)
 
-        prec = (_pk.build_packed_records(grid_loc, fs_loc)
-                if cfg.fast_interp and cfg.tension_sigma >= 0 else None)
+        if use_mega:
+            # per-tile megakernel: sort locally, fused external step
+            # (EMPTY slots ride through — status -1 never activates)
+            ci, _ = locate(grid_loc.x_rho, p.x, grid_loc.uniform)
+            cj, _ = locate(grid_loc.y_rho, p.y, grid_loc.uniform)
+            ps, perm = _sp.sort_by_cell(p, ci, cj)
+            prec = _pk.build_packed_records(grid_loc, fs_loc,
+                                            with_aks=mega_aks)
+            p2 = _mega_external_step(
+                ctx_loc, cfg, base_key, ps, fs_loc, prec, mg.brows_t[0],
+                s_max, t0, ext_idx, interpret=interpret,
+                params_static=mg.pstat_t[0])
+            p = _sp.unsort(p2, perm)
+        else:
+            prec = (_pk.build_packed_records(grid_loc, fs_loc)
+                    if cfg.fast_interp and cfg.tension_sigma >= 0 else None)
 
-        def scan_body(carry, i):
-            t = t0 + i * idt
-            return internal_step(ctx_loc, cfg, base_key, carry, fs_loc, t,
-                                 ext_idx * n_int + i, prec), None
+            def scan_body(carry, i):
+                t = t0 + i * idt
+                return internal_step(ctx_loc, cfg, base_key, carry,
+                                     fs_loc, t, ext_idx * n_int + i,
+                                     prec), None
 
-        p, _ = lax.scan(scan_body, p, jnp.arange(n_int))
+            p, _ = lax.scan(scan_body, p, jnp.arange(n_int))
 
         # --- migration ----------------------------------------------------
         x_mid = grid.x_rho[grid.nx // 2]
@@ -388,13 +471,13 @@ def make_tiled_step(ctx: StepContext, cfg: Config, spec: TileSpec,
 
     shmapped = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(part_spec, fs_specs, tiled_specs, P(), P()),
+        in_specs=(part_spec, fs_specs, tiled_specs, mega_specs, P(), P()),
         out_specs=(part_spec, P("dp", "tile")),
         check_vma=False)
 
     @jax.jit
     def ext_step(pbuf, fs, t0, ext_idx):
-        return shmapped(pbuf, fs, tiled, t0, ext_idx)
+        return shmapped(pbuf, fs, tiled, mega, t0, ext_idx)
 
     return ext_step
 

@@ -430,8 +430,8 @@ def make_fused_external_steps(ctx: StepContext, cfg: Config, base_key,
 def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
                         p: st.Particles, fields: FieldSet, prec, brows,
                         s_max: int, t0, ext_idx,
-                        rtab=None, interpret: bool = False
-                        ) -> st.Particles:
+                        rtab=None, interpret: bool = False,
+                        params_static=None) -> st.Particles:
     """One external step through the whole-external-step Pallas kernel
     (ltjax.kernels.ext_step) + exact XLA recompute of out-of-window
     particles via the collapsed mirror path.
@@ -452,16 +452,18 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
     if rtab is None:
         rtab = pk.build_record_tables(
             grid, prec, paired=cfg.kernel_precision == "pair2")
-    params = es.params_array_ext(grid, ctx.bounds, cfg.z0, t0,
-                                 fields.times, idt, n_int,
-                                 const_hturb=(cfg.ConstantHTurb
-                                              if cfg.HTurbOn else 0.0),
-                                 const_vturb=(cfg.ConstantVTurb
-                                              if cfg.VTurbOn else 0.0),
-                                 sink=(cfg.sink if cfg.Behavior == 6
-                                       else 0.0),
-                                 deadage=(cfg.deadage if cfg.mortality
-                                          else float("inf")))
+    if params_static is not None:
+        # per-tile static head (sharded megakernel): Y0/BY0 carry the
+        # tile's eta origin; only the dynamic tail is built here
+        params = es.finish_params(params_static, t0, fields.times, idt,
+                                  n_int)
+    else:
+        params = es.params_array_ext(
+            grid, ctx.bounds, cfg.z0, t0, fields.times, idt, n_int,
+            const_hturb=(cfg.ConstantHTurb if cfg.HTurbOn else 0.0),
+            const_vturb=(cfg.ConstantVTurb if cfg.VTurbOn else 0.0),
+            sink=(cfg.sink if cfg.Behavior == 6 else 0.0),
+            deadage=(cfg.deadage if cfg.mortality else float("inf")))
     rngk = (es.rng_keys_array(base_key, ext_idx, n_int)
             if (cfg.HTurbOn or cfg.VTurbOn) else None)
 
@@ -486,7 +488,7 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
         hturb_on=cfg.HTurbOn, vturb_on=cfg.VTurbOn,
         with_aks=prec.with_aks,
         window=(cfg.kernel_wy, cfg.kernel_wx),
-        fast_math=cfg.kernel_fast_math, dma_once=cfg.kernel_dma_once,
+        fast_math=cfg.kernel_fast_math, dma_every=cfg.kernel_dma_every,
         sink_on=cfg.Behavior == 6, mortality=cfg.mortality,
         interpret=interpret)
     xo, yo, zo = xo[:n], yo[:n], zo[:n]

@@ -261,7 +261,7 @@ def test_ext_step_pair2_matches_collapsed_scan():
         grid, rtab, brows, params, p.x, p.y, p.z, p.dob, p.status,
         0.0, n_int, float(cfg.idt), n_iter=2, p_block=256,
         s_max=boundary_s_max(bounds), precision="pair2",
-        open_exits=True, dma_once=True, interpret=True)
+        open_exits=True, dma_every=4, interpret=True)
 
     pp = p
     for ii in range(n_int):
@@ -406,7 +406,7 @@ def test_ext_step_mega_sink_mortality():
         grid, rtab, brows, params, p.x, p.y, p.z, p.dob, p.status,
         0.0, n_int, float(cfg.idt), n_iter=2, p_block=256,
         s_max=boundary_s_max(bounds), open_exits=True,
-        sink_on=True, mortality=True, dma_once=True, interpret=True)
+        sink_on=True, mortality=True, dma_every=4, interpret=True)
 
     rft = pk.build_records_flat(grid, prec)
     pp = p
