@@ -68,25 +68,44 @@ class NCFile:
         return self.dims(name)[0]
 
     # -- data -------------------------------------------------------------
-    def read(self, name: str, index=None, dtype=None) -> np.ndarray:
+    def read(self, name: str, index=None, dtype=None,
+             eta_slice=None) -> np.ndarray:
         """Read a whole variable or one leading-axis record (hyperslab).
 
         dtype: optional target dtype hint ("float32"/"float64"); the
         native reader converts during the read, other backends convert
         after.
+
+        eta_slice: optional (lo, hi) row range applied to the
+        second-to-last axis — the ROMS eta axis of ([K,] eta, xi)
+        records.  Per-host hyperslab reads (SURVEY.md SS5.8): each host
+        of a domain-decomposed run reads only its tiles' rows; scipy's
+        mmap and h5py slice lazily, so only those rows touch disk.
         """
+        es = slice(*eta_slice) if eta_slice is not None else slice(None)
         if self._kind == "native":
             out = self._f.read(name, index, dtype=dtype or "float64")
+            if eta_slice is not None and out.ndim >= 2:
+                out = out[..., es, :]
         elif self._kind == "cdf":
             var = self._f.variables[name]
             if var.shape == ():  # scalar var: scipy can't slice 0-d data
                 data = var.getValue()
+            elif eta_slice is not None and len(var.shape) >= 2:
+                data = (var[index][..., es, :] if index is not None
+                        else var[:][..., es, :])
             else:
                 data = var[index] if index is not None else var[:]
             out = np.array(data)  # copy out of the mmap
         else:
             ds = self._f[name]
-            out = np.asarray(ds[index] if index is not None else ds[:])
+            if eta_slice is not None and ds.ndim >= 2:
+                if index is not None:
+                    out = np.asarray(ds[(index, Ellipsis, es, slice(None))])
+                else:
+                    out = np.asarray(ds[(Ellipsis, es, slice(None))])
+            else:
+                out = np.asarray(ds[index] if index is not None else ds[:])
         if dtype is not None:
             out = np.asarray(out, dtype)
         return out

@@ -179,9 +179,16 @@ class RomsSeries:
     field, advancing across file boundaries (updateHydro semantics).
     """
 
-    def __init__(self, cfg: Config, paths: Optional[List[str]] = None):
+    def __init__(self, cfg: Config, paths: Optional[List[str]] = None,
+                 eta_slice: Optional[tuple] = None):
+        """``eta_slice``: optional (lo, hi) rho-row range — per-host
+        hyperslab reads for domain-decomposed runs (SURVEY.md SS5.8:
+        "each host reads only its hyperslab of u/v/w").  Fields on
+        shorter eta axes (v) clamp the range; the sharded driver pads.
+        """
         self.cfg = cfg
         self._explicit_paths = paths
+        self.eta_slice = eta_slice
         self.file_idx = 0      # index into the series
         self.rec_idx = 0       # record within current file
         self._nc: Optional[NCFile] = None
@@ -208,8 +215,15 @@ class RomsSeries:
                     const: float, shape_like: Optional[np.ndarray]):
         name = self._names.get(key)
         if read_flag and name:
-            return np.asarray(self._nc.read(name, rec, dtype="float32"),
-                              np.float32)
+            es = self.eta_slice
+            if es is not None:
+                # clamp to the variable's eta extent (v is one row
+                # shorter than rho)
+                ny_var = self._nc.dims(name)[-2]
+                es = (min(es[0], ny_var), min(es[1], ny_var))
+            return np.asarray(
+                self._nc.read(name, rec, dtype="float32", eta_slice=es),
+                np.float32)
         if shape_like is not None:
             return np.full(shape_like.shape, const, np.float32)
         return None

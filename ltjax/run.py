@@ -310,13 +310,20 @@ def run_sharded(cfg: Config, resume: bool = False,
 
     grid = load_grid(cfg)
     ctx = build_context(cfg, grid)
-    series = RomsSeries(cfg, paths=series_paths)
     global_rec = 0
 
     ndp, ntiles = cfg.mesh_particles, cfg.mesh_tiles
     spec = shard.make_spec(cfg, grid.ny, cfg.numpar, ndp, ntiles,
                            halo=cfg.halo_rows, slack=cfg.migrate_capacity)
     mesh = shard.make_mesh(spec)
+    # per-host hyperslab reads (SURVEY.md SS5.8): each host reads only
+    # the eta rows its tiles own; halos ride the in-step ppermute
+    eta_rows = (shard.process_tile_rows(mesh, spec, grid.ny)
+                if jax.process_count() > 1 else None)
+    local_rows = (None if eta_rows is None else
+                  -(-(eta_rows[1] - eta_rows[0]) // spec.ny_loc)
+                  * spec.ny_loc)
+    series = RomsSeries(cfg, paths=series_paths, eta_slice=eta_rows)
     tiled = shard.build_tiled_static(grid, spec)
     base_key = jr.key(cfg.seed)
     from .step import mode_flags as _mf
@@ -381,7 +388,13 @@ def run_sharded(cfg: Config, resume: bool = False,
                 win_start += 1
             fs3 = stack_records(window[:3], t_base, field_dtype,
                                 with_salt_temp=cfg.SaltTempOn)
-            fs3 = shard.pad_fieldset_eta(fs3, spec.ny_pad)
+            if eta_rows is None:
+                fs3 = shard.pad_fieldset_eta(fs3, spec.ny_pad)
+            else:
+                # per-host slab -> pad to the owned row count -> global
+                # sharded arrays (multi-host assembly)
+                fs3 = shard.pad_fieldset_eta(fs3, local_rows)
+                fs3 = shard.globalize_fields(fs3, mesh, spec)
             timing.add("hydro_read", time.perf_counter() - tw)
 
             tc = time.perf_counter()

@@ -237,6 +237,55 @@ def build_tiled_static(grid: Grid, spec: TileSpec) -> TiledStatic:
     )
 
 
+def process_tile_rows(mesh: Mesh, spec: TileSpec, ny: int):
+    """Global rho-row range [lo, hi) owned by THIS process's tiles.
+
+    Feeds RomsSeries(eta_slice=...) so each host reads only its
+    hyperslab of the history files (SURVEY.md SS5.8); halo rows arrive
+    via the in-step ppermute exchange, not from disk.
+    """
+    me = jax.process_index()
+    dev = mesh.devices
+    cols = sorted({c for r in range(dev.shape[0])
+                   for c in range(dev.shape[1])
+                   if dev[r, c].process_index == me})
+    lo = min(cols) * spec.ny_loc
+    hi = min((max(cols) + 1) * spec.ny_loc, ny)
+    return lo, hi
+
+
+def globalize_fields(fs_local: FieldSet, mesh: Mesh,
+                     spec: TileSpec) -> FieldSet:
+    """Assemble the logically-global sharded FieldSet from per-process
+    local slabs (jax.make_array_from_process_local_data).
+
+    ``fs_local`` leaves must already be eta-padded to this process's
+    owned row count (a multiple of ny_loc); times is replicated.
+    Single-process runs never need this (the whole padded field is
+    local) — it is the multi-host assembly step of the per-host
+    hyperslab input pipeline.
+    """
+    from jax.sharding import NamedSharding
+
+    ny_pad = spec.ny_pad
+
+    def glob(a, pspec):
+        a = np.asarray(a)
+        gshape = a.shape[:1] + (ny_pad,) + a.shape[2:]
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, pspec), a, gshape)
+
+    f3 = P(None, "tile", None, None)
+    return FieldSet(
+        zeta=glob(fs_local.zeta, P(None, "tile", None)),
+        u=glob(fs_local.u, f3), v=glob(fs_local.v, f3),
+        w=glob(fs_local.w, f3), aks=glob(fs_local.aks, f3),
+        salt=glob(fs_local.salt, f3), temp=glob(fs_local.temp, f3),
+        times=jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P()), np.asarray(fs_local.times),
+            np.asarray(fs_local.times).shape))
+
+
 def pad_fieldset_eta(fs: FieldSet, ny_pad: int) -> FieldSet:
     """Edge-replicate every field's eta axis (uniformly axis 1 in the
     K-last layout) to ny_pad rows (v included: its ny-1 rows pad

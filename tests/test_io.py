@@ -117,3 +117,41 @@ def test_prefetcher_propagates_errors():
     with pytest.raises(RuntimeError, match="boom"):
         pf.next()
     pf.close()
+
+
+def test_eta_hyperslab_reads_match_full(tmp_path):
+    """RomsSeries(eta_slice=...) must return exactly the row range of
+    the full read for every field (per-host hyperslab input pipeline,
+    SURVEY.md SS5.8), with v clamped to its shorter eta axis."""
+    import jax.numpy as jnp
+    from ltjax import synth
+    from ltjax.config import Config
+    from ltjax.io.roms import RomsSeries
+
+    case = synth.make_solid_body_case(nx=17, ny=24, us=6, lx=50e3,
+                                      ly=70e3, h0=50.0, omega=1e-4,
+                                      dtype=jnp.float64)
+    synth.write_roms_files(case, str(tmp_path), n_records=3, dt=1800.0,
+                           records_per_file=3)
+    cfg = Config(us=6, ws=7, dirin=str(tmp_path) + "/",
+                 prefix="ocean_his_", suffix=".nc", numdigits=4)
+    full = RomsSeries(cfg)
+    lo, hi = 8, 16
+    slab = RomsSeries(cfg, eta_slice=(lo, hi))
+    for _ in range(3):
+        rf = full.next_record()
+        rs = slab.next_record()
+        assert rs["time"] == rf["time"]
+        np.testing.assert_array_equal(rs["zeta"], rf["zeta"][lo:hi, :])
+        np.testing.assert_array_equal(rs["u"], rf["u"][:, lo:hi, :])
+        np.testing.assert_array_equal(rs["v"], rf["v"][:, lo:hi, :])
+        np.testing.assert_array_equal(rs["w"], rf["w"][:, lo:hi, :])
+        np.testing.assert_array_equal(rs["aks"], rf["aks"][:, lo:hi, :])
+    # v clamps at its Ny-1 rows when the range touches the top
+    full2 = RomsSeries(cfg)
+    slab2 = RomsSeries(cfg, eta_slice=(16, 24))
+    rf = full2.next_record()
+    rs = slab2.next_record()
+    np.testing.assert_array_equal(rs["zeta"], rf["zeta"][16:24, :])
+    np.testing.assert_array_equal(rs["v"], rf["v"][:, 16:23, :])
+    full.close(); slab.close(); full2.close(); slab2.close()
