@@ -39,12 +39,20 @@ N_FUSE = 4        # external steps per compiled call (production default:
 
 
 def build(numpar=1_000_000, nx=200, ny=200, us=20, dt=3600, idt=120,
-          n_records=3):
+          n_records=3, variant="advect"):
+    """variant: "advect" (BASELINE config 1), "turb" (config 2/3:
+    HTurb + Visser VTurb on Aks), "behavior" (config-4 style: type-6
+    sinking + mortality — settlement adds the XLA per-step path)."""
     dtype = jnp.float32
+    kw = {}
+    if variant == "turb":
+        kw = dict(HTurbOn=True, ConstantHTurb=1.0, VTurbOn=True,
+                  readAks=True)
+    elif variant == "behavior":
+        kw = dict(Behavior=6, sink=1e-3, mortality=True, deadage=5e6)
     cfg = Config(numpar=numpar, dt=dt, idt=idt, us=us, ws=us + 1,
-                 HTurbOn=False, VTurbOn=False, Behavior=0,
                  OpenOceanBoundary=True, dtype_pos="float32",
-                 reflect_iters=2)
+                 reflect_iters=2, **kw)
     case = synth.make_solid_body_case(nx=nx, ny=ny, us=us, lx=200e3,
                                       ly=200e3, h0=50.0, omega=5e-5,
                                       dtype=dtype)
@@ -55,6 +63,14 @@ def build(numpar=1_000_000, nx=200, ny=200, us=20, dt=3600, idt=120,
     ctx = StepContext(grid=grid, bounds=bounds, polys=None, holes=None)
     fs = synth.fieldset_window(case, -float(dt) / 2, float(dt), n_records,
                                dtype=jnp.float32)
+    if variant == "turb":
+        # parabolic Aks(z) profile so the Visser RDM terms are real
+        # (the synthetic case ships zero diffusivity)
+        z_w = float(50.0) * np.asarray(case.grid.s_w)
+        K = 1e-4 + 4e-3 * (1.0 - (2.0 * z_w / 50.0 + 1.0) ** 2)
+        fs = fs._replace(aks=jnp.broadcast_to(
+            jnp.asarray(K, jnp.float32)[None, None, None, :],
+            fs.aks.shape))
     rng = np.random.default_rng(0)
     p = st.init_particles(rng.uniform(40e3, 160e3, numpar),
                           rng.uniform(40e3, 160e3, numpar),
@@ -65,10 +81,12 @@ def build(numpar=1_000_000, nx=200, ny=200, us=20, dt=3600, idt=120,
 
 
 def main():
+    import sys
+    variant = sys.argv[1] if len(sys.argv) > 1 else "advect"
     # production path: N_FUSE external steps per compiled call over an
     # (N_FUSE+2)-record field window (ltjax.step.make_fused_external_steps
     # — the same call run.py makes when prefetch keeps records resident)
-    cfg, ctx, fsR, p = build(n_records=N_FUSE + 2)
+    cfg, ctx, fsR, p = build(n_records=N_FUSE + 2, variant=variant)
     n_int = cfg.internal_steps  # 30 internal steps per external step
     step = make_fused_external_steps(ctx, cfg, jr.key(0), N_FUSE)
 
@@ -85,8 +103,14 @@ def main():
         dt_s = time.perf_counter() - t0
         rates.append(cfg.numpar * steps_per_rep / dt_s)
     value = float(np.median(rates))
+    from ltjax.step import summary_counts
+    errs = summary_counts(pp)["error"]
+    assert errs == 0, (
+        f"{errs} particles hit the oob-patch overflow/ERROR path — "
+        f"raise Config.oob_frac capacity")
+    tag = "" if variant == "advect" else f"[{variant}]"
     print(json.dumps({
-        "metric": "particle-steps/s/chip@1M",
+        "metric": f"particle-steps/s/chip@1M{tag}",
         "value": value,
         "unit": "particle-steps/s",
         "vs_baseline": value / ROOFLINE,

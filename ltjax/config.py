@@ -149,13 +149,17 @@ class Config:
                                   #   a uniform grid, else falls back to
                                   #   the packed path
     kernel_block: int = 2048      # particles per fused-kernel block
-    kernel_precision: str = "hilo3"  # MXU one-hot blend precision:
-                                  #   "highest" = f32-exact (6 bf16
-                                  #   passes), "hilo3" = manual hi/lo
-                                  #   split, 3 passes, ~1.5e-5 rel (on
-                                  #   par with f32 roundoff accumulation
-                                  #   -- the default), "default" = one
-                                  #   bf16 pass (~4e-3 rel; fastest)
+    kernel_precision: str = "pair2"  # MXU one-hot blend scheme/precision:
+                                  #   "pair2" = pair-packed rows +
+                                  #   bf16-exact row weights, 2 passes,
+                                  #   ~2^-16 value error + fy on the
+                                  #   1/256 lattice (default: fastest
+                                  #   exact-ish mode), "hilo3" = hi/lo
+                                  #   split bilinear, 3 passes, ~1.5e-5,
+                                  #   "highest" = f32-exact (6 passes),
+                                  #   "default" = one bf16 pass (~4e-3
+                                  #   rel; fast but weight sums lose
+                                  #   exactness)
     kernel_wy: int = 16           # fused-kernel VMEM window cells (eta)
     kernel_wx: int = 16           # fused-kernel VMEM window cells (xi);
                                   #   wy*wx <= 128 halves the one-hot
@@ -172,8 +176,11 @@ class Config:
                                   #   call on the megakernel path (the
                                   #   field window holds ext_fuse + 2
                                   #   records); 1 = classic triple buffer
-    oob_frac: int = 64            # exact-recompute capacity for window
+    oob_frac: int = 96            # exact-recompute capacity for window
                                   #   misses = numpar // oob_frac
+                                  #   (measured miss rate 0.87% on the
+                                  #   1M bench; overflow -> ERROR status,
+                                  #   visible in run counts)
     reflect_iters: int = 4        # fixed boundary-reflection iteration count
     mesh_particles: int = 1       # mesh axis size: particle data-parallel
     mesh_tiles: int = 1           # mesh axis size: domain tiles (eta strips)

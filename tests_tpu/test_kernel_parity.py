@@ -1,0 +1,85 @@
+"""Megakernel Mosaic-lowering parity on the real chip.
+
+Shapes mirror the 1M-particle bench so the persistent compile cache is
+shared with it (fresh compiles take minutes through the remote-compile
+tunnel).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import build
+from ltjax import packed as pk
+from ltjax import spatial as sp
+from ltjax import state as st
+from ltjax.grid import locate
+from ltjax.kernels import ext_step as es
+from ltjax.step import boundary_s_max, internal_step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg, ctx, fs, p = build(numpar=1_000_000)
+    grid = ctx.grid
+    ci, _ = locate(grid.x_rho, p.x, grid.uniform)
+    cj, _ = locate(grid.y_rho, p.y, grid.uniform)
+    ps, _ = sp.sort_by_cell(p, ci, cj)
+    return cfg, ctx, fs, jax.block_until_ready(ps)
+
+
+def test_ext_step_pair2_on_chip_matches_records_scan(setup):
+    """ext_step_fused (pair2, real Mosaic) vs the records-mode XLA scan
+    on the same chip: in-window particles must agree within the pair2
+    scheme bound (fy on the 1/256 lattice x per-cell delta-v, plus
+    2^-16 value error) — structural lowering bugs give 100s of m."""
+    cfg, ctx, fs, ps = setup
+    grid = ctx.grid
+    n_int = cfg.internal_steps
+    idt = float(cfg.idt)
+    n = ps.n
+
+    prec = pk.build_packed_records(grid, fs)
+    rtab = pk.build_record_tables(grid, prec, paired=True)
+    brows = jnp.asarray(es.boundary_rows_table(ctx.bounds, grid.ny,
+                                               grid.nx))
+    params = es.params_array_ext(grid, ctx.bounds, cfg.z0, 0.0, fs.times,
+                                 idt, n_int)
+    xo, yo, zo, sto, hitl, hitb, oob = jax.block_until_ready(
+        es.ext_step_fused(
+            grid, rtab, brows, params, ps.x, ps.y, ps.z, ps.dob,
+            ps.status, cfg.tension_sigma, n_int, idt,
+            n_iter=cfg.reflect_iters, p_block=cfg.kernel_block,
+            s_max=boundary_s_max(ctx.bounds), precision="pair2",
+            open_exits=cfg.OpenOceanBoundary, dma_every=4))
+
+    # XLA mirror on a random in-window subset (full 1M x 30-step scan
+    # is wasteful; 8192 particles pin the numerics)
+    rng = np.random.default_rng(0)
+    ok = ~np.asarray(oob)
+    idx = rng.choice(np.nonzero(ok)[0], 8192, replace=False)
+    sub = jax.tree.map(lambda a: a[idx], ps)
+    rft = pk.build_records_flat(grid, prec)
+
+    @jax.jit
+    def scan(pp):
+        def body(c, i):
+            return internal_step(ctx, cfg, None, c, fs, i * idt, i,
+                                 rft, mode="records"), None
+        return jax.lax.scan(body, pp, jnp.arange(n_int))[0]
+
+    ref = jax.block_until_ready(scan(sub))
+    dx = np.abs(np.asarray(xo)[idx] - np.asarray(ref.x))
+    dy = np.abs(np.asarray(yo)[idx] - np.asarray(ref.y))
+    dz = np.abs(np.asarray(zo)[idx] - np.asarray(ref.z))
+    assert dx.max() < 3.0, dx.max()
+    assert dy.max() < 3.0, dy.max()
+    assert dz.max() < 0.05, dz.max()
+    assert np.array_equal(np.asarray(sto)[idx], np.asarray(ref.status))
+    # window-miss rate must stay inside the exact-patch capacity
+    oob_rate = float(np.asarray(oob).mean())
+    assert oob_rate < 1.0 / cfg.oob_frac, oob_rate
