@@ -167,20 +167,24 @@ class Config:
     kernel_fast_math: bool = True # kernel divides via approx-reciprocal
                                   #   + 2 Newton steps (~1-2 ulp of an
                                   #   exact f32 divide)
-    kernel_dma_every: int = 4     # megakernel window-DMA refresh cadence
-                                  #   in internal steps (blocks drift
-                                  #   ~v*idt/cell ~ 0.3 cells per step;
-                                  #   a few steps stay inside the window
-                                  #   margin); 1 = refresh every step
+    kernel_dma_every: int = 1     # megakernel window-DMA refresh cadence
+                                  #   in internal steps; 1 (default) =
+                                  #   refresh every step — measured as
+                                  #   fast as 4 on v5e AND ~2k fewer
+                                  #   window misses at 1M (drift between
+                                  #   refreshes eats window margin)
     ext_fuse: int = 4             # external steps fused per compiled
                                   #   call on the megakernel path (the
                                   #   field window holds ext_fuse + 2
                                   #   records); 1 = classic triple buffer
-    oob_frac: int = 96            # exact-recompute capacity for window
+    oob_frac: int = 64            # exact-recompute capacity for window
                                   #   misses = numpar // oob_frac
-                                  #   (measured miss rate 0.87% on the
-                                  #   1M bench; overflow -> ERROR status,
-                                  #   visible in run counts)
+                                  #   (steady-state miss rate ~1.05% on
+                                  #   the 1M bench; capacity must sit
+                                  #   clearly above it — overflow freezes
+                                  #   particles as ERROR, and frozen
+                                  #   stragglers feed back into more
+                                  #   misses; see ltjax.spatial sort)
     reflect_iters: int = 4        # fixed boundary-reflection iteration count
     mesh_particles: int = 1       # mesh axis size: particle data-parallel
     mesh_tiles: int = 1           # mesh axis size: domain tiles (eta strips)

@@ -103,6 +103,47 @@ class Timing:
         return dict(sorted(self.acc.items()))
 
 
+class _Profiler:
+    """SURVEY.md SS5.1: optional ``jax.profiler`` trace capture.
+
+    ``LTJAX_PROFILE_DIR=/path`` captures a TensorBoard/Perfetto trace of
+    external steps [start, stop) (post-JIT-warm-up by default; override
+    with ``LTJAX_PROFILE_STEPS=start:stop``).  The reference's only
+    profiling is the WriteModelTiming phase accumulator (LTRANS.f90
+    [conf: M]); this is its device-level upgrade.
+    """
+
+    def __init__(self):
+        self.dir = os.environ.get("LTJAX_PROFILE_DIR")
+        steps = os.environ.get("LTJAX_PROFILE_STEPS", "1:3")
+        a, _, b = steps.partition(":")
+        self.start, self.stop = int(a), int(b or (int(a) + 2))
+        self.active = False
+
+    def tick(self, ext: int):
+        if not self.dir:
+            return
+        if not self.active and self.start <= ext < self.stop:
+            jax.profiler.start_trace(self.dir)
+            self.active = True
+        elif self.active and ext >= self.stop:
+            jax.profiler.stop_trace()
+            self.active = False
+
+    def close(self):
+        if self.active:
+            jax.profiler.stop_trace()
+            self.active = False
+
+
+def _apply_debug_flags():
+    """SURVEY.md SS5.2: ``LTJAX_DEBUG_NANS=1`` enables jax_debug_nans —
+    any NaN produced by a jitted step fails loudly with a traceback
+    instead of silently corrupting trajectories."""
+    if os.environ.get("LTJAX_DEBUG_NANS"):
+        jax.config.update("jax_debug_nans", True)
+
+
 def run(cfg: Config, resume: bool = False,
         series_paths: Optional[List[str]] = None) -> st.Particles:
     if cfg.mesh_particles * cfg.mesh_tiles > 1:
@@ -116,6 +157,8 @@ def run(cfg: Config, resume: bool = False,
         jax.config.update("jax_compilation_cache_dir",
                           os.path.expanduser("~/.cache/jax_comp"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _apply_debug_flags()
+    profiler = _Profiler()
     timing = Timing()
     t0 = time.perf_counter()
 
@@ -236,6 +279,7 @@ def run(cfg: Config, resume: bool = False,
             timing.add("hydro_read", time.perf_counter() - tw)
 
             # --- compute E external steps --------------------------------
+            profiler.tick(ext)
             tc = time.perf_counter()
             t_ext = float(ext * cfg.dt)
             particles = stepper(E)(particles, fsW, t_ext, ext)
@@ -271,6 +315,7 @@ def run(cfg: Config, resume: bool = False,
             log.update(counts)
             print(json.dumps(log))
     finally:
+        profiler.close()
         if prefetch:
             prefetch.close()
         writer.close()
@@ -305,6 +350,8 @@ def run_sharded(cfg: Config, resume: bool = False,
     is_proc0 = jax.process_index() == 0
     if cfg.dtype_pos == "float64" and not jax.config.jax_enable_x64:
         jax.config.update("jax_enable_x64", True)
+    _apply_debug_flags()
+    profiler = _Profiler()
     timing = Timing()
     t0 = time.perf_counter()
 
@@ -397,6 +444,7 @@ def run_sharded(cfg: Config, resume: bool = False,
                 fs3 = shard.globalize_fields(fs3, mesh, spec)
             timing.add("hydro_read", time.perf_counter() - tw)
 
+            profiler.tick(ext)
             tc = time.perf_counter()
             t_ext = float(ext * cfg.dt)
             pbuf, n_drop = step(pbuf, fs3, t_ext, ext)
@@ -436,6 +484,7 @@ def run_sharded(cfg: Config, resume: bool = False,
             log.update(counts)
             print(json.dumps(log))
     finally:
+        profiler.close()
         if prefetch:
             prefetch.close()
         if writer:

@@ -92,10 +92,22 @@ def _unpack_rows(rows: jax.Array, like: st.Particles) -> st.Particles:
 def sort_by_cell(p: st.Particles, i, j):
     """Hilbert-sort the state by cell index; returns (p_sorted, perm).
 
+    Frozen particles (settled / dead / out-of-domain / errored — any
+    status that can never move again) sort AFTER all live ones: they
+    stay wherever they froze while the flow moves on, so leaving them
+    inline would dilute every later block with spatial stragglers and
+    inflate the fused kernels' window-miss population without bound
+    (measured: a 1M run near the patch-capacity edge went into a
+    freeze->straggler->more-overflow feedback, +~1k ERRORs per external
+    step).  Trailing all-frozen blocks produce no window misses at all
+    (the kernel only flags ``oob`` for active particles).
+
     Requires f32 position dtype (the kernel path's precondition); the
     permutation row-gather exactly preserves every column bit pattern.
     """
-    key = hilbert_key(i, j)
+    key = hilbert_key(i, j)                    # < 2^30 (bits=15)
+    frozen = p.status >= st.SETTLED
+    key = key + jnp.where(frozen, jnp.int32(1) << 30, 0)
     perm = jnp.argsort(key)
     rows = _pack_rows(p)[perm]
     return _unpack_rows(rows, p), perm

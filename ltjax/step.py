@@ -15,6 +15,7 @@ captured at trace time, so disabled operators cost nothing.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -400,13 +401,20 @@ def make_fused_external_steps(ctx: StepContext, cfg: Config, base_key,
         rtab_all = pk.build_record_tables(
             grid, prec_all, paired=cfg.kernel_precision == "pair2")
 
-        # Hilbert sort once for all n_fuse steps
-        ci, _ = locate(grid.x_rho, p.x, grid.uniform)
-        cj, _ = locate(grid.y_rho, p.y, grid.uniform)
-        ps, perm = sp.sort_by_cell(p, ci, cj)
-
         def body(carry, e):
-            pp = carry
+            pp, cum = carry
+            # Hilbert re-sort EVERY external step (composing the
+            # permutation): blocks disperse over one external step
+            # (vertical shear spreads a block's particles moving at
+            # different depths), and without a per-step re-sort the
+            # window-miss population grows ~linearly with the number of
+            # fused steps — measured 15k misses after 4 fused steps at
+            # 1M (vs <10k per single step), overflowing the exact-patch
+            # capacity.  The row-packed sort costs ~10 ms (~3%).
+            ci, _ = locate(grid.x_rho, pp.x, grid.uniform)
+            cj, _ = locate(grid.y_rho, pp.y, grid.uniform)
+            pp, perm = sp.sort_by_cell(pp, ci, cj)
+            cum = cum[perm]
             tab3 = jax.lax.dynamic_slice_in_dim(prec_all.tab, e, 3, 0)
             times3 = jax.lax.dynamic_slice_in_dim(fsR.times, e, 3, 0)
             prec3 = pk.PackedRecords(tab=tab3, times=times3,
@@ -419,10 +427,11 @@ def make_fused_external_steps(ctx: StepContext, cfg: Config, base_key,
                 ctx, cfg, base_key, pp, f3, prec3, brows, s_max,
                 t0 + e.astype(p.x.dtype) * dt, ext_idx0 + e, rtab=rtab3,
                 interpret=interpret)
-            return pp, None
+            return (pp, cum), None
 
-        ps, _ = jax.lax.scan(body, ps, jnp.arange(n_fuse))
-        return sp.unsort(ps, perm)
+        cum0 = jnp.arange(p.n, dtype=jnp.int32)
+        (ps, cum), _ = jax.lax.scan(body, (p, cum0), jnp.arange(n_fuse))
+        return sp.unsort(ps, cum)
 
     return fused
 
@@ -493,6 +502,8 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
         interpret=interpret)
     xo, yo, zo = xo[:n], yo[:n], zo[:n]
     sto, hitl, hitb, oob = sto[:n], hitl[:n], hitb[:n], oob[:n]
+    if os.environ.get("LTJAX_DEBUG_OOB"):
+        jax.debug.print("oob t0={t} n_oob={o}", t=t0, o=jnp.sum(oob))
 
     tt_end = jnp.asarray(t0 + n_int * idt, p.x.dtype)
     age = jnp.where(sto >= st.ACTIVE, tt_end - p.dob, p.age)

@@ -196,7 +196,14 @@ def test_tiled_megakernel_matches_unsharded_megakernel():
                  HTurbOn=True, ConstantHTurb=2.0,
                  OpenOceanBoundary=True, TrackCollisions=True,
                  dtype_pos="float32", dtype_field="float32",
-                 kernel_block=256, reflect_iters=2)
+                 kernel_block=256, reflect_iters=2,
+                 # f32-exact blend: tiled vs unsharded differ in window
+                 # origins (tile-local vs global), so their oob-patch
+                 # populations differ; with an approximate blend scheme
+                 # (pair2/hilo3) patched particles get f32-exact values
+                 # while in-window ones get ~2^-16-relative ones, and the
+                 # comparison would measure blend rounding, not tiling
+                 kernel_precision="highest")
     case = synth.make_solid_body_case(nx=33, ny=41, us=6, lx=80e3,
                                       ly=100e3, h0=50.0, omega=1.2e-4,
                                       dtype=jnp.float32)

@@ -39,9 +39,16 @@ def test_sort_roundtrip_bitwise():
     ps, perm = spatial.sort_by_cell(p, i, j)
     # permutation is a bijection
     assert len(np.unique(np.asarray(perm))) == p.n
-    # sorted keys are nondecreasing (sort_by_cell orders by Hilbert key)
+    # live particles first (Hilbert-ordered), frozen ones after
+    # (Hilbert-ordered among themselves) — see sort_by_cell docstring
     key = np.asarray(spatial.hilbert_key(i, j))
-    assert np.all(np.diff(key[np.asarray(perm)]) >= 0)
+    frozen = np.asarray(p.status) >= st.SETTLED
+    kp = key[np.asarray(perm)]
+    fp = frozen[np.asarray(perm)]
+    n_live = int((~frozen).sum())
+    assert not fp[:n_live].any() and fp[n_live:].all()
+    assert np.all(np.diff(kp[:n_live]) >= 0)
+    assert np.all(np.diff(kp[n_live:]) >= 0)
     pr = spatial.unsort(ps, perm)
     for name in p._fields:
         a = np.asarray(getattr(p, name))

@@ -102,3 +102,29 @@ def test_open_boundary_removal_in_step():
     assert s[1] == st.ACTIVE
     # the exited particle froze at the boundary crossing
     assert float(p1.x[0]) <= float(ctx.bounds.x_edges[-1]) + 1e-6
+
+
+def test_step_clean_under_debug_nans():
+    """SURVEY.md SS5.2 race/sanitizer analog: the full physics step
+    (advection + both turbulences + behavior + reflection) must produce
+    no NaNs anywhere under jax_debug_nans — the same check the driver
+    enables via LTJAX_DEBUG_NANS=1 (ltjax.run._apply_debug_flags)."""
+    cfg = Config(numpar=64, dt=3600, idt=600, us=10, ws=11,
+                 HTurbOn=True, ConstantHTurb=1.0,
+                 VTurbOn=True, ConstantVTurb=1e-4,
+                 Behavior=6, sink=5e-4, mortality=True, deadage=1e9,
+                 OpenOceanBoundary=True)
+    case, ctx = _setup(cfg, shear_a=0.002)
+    fs = synth.fieldset_for(case, t_center=0.0, dt=3600.0)
+    rng = np.random.default_rng(7)
+    p = st.init_particles(rng.uniform(30e3, 70e3, 64),
+                          rng.uniform(30e3, 70e3, 64),
+                          rng.uniform(-45.0, -2.0, 64))
+    jax.config.update("jax_debug_nans", True)
+    try:
+        ext = make_external_step(ctx, cfg, jr.key(1))
+        p1 = jax.block_until_ready(ext(p, fs, 0.0, 0))
+    finally:
+        jax.config.update("jax_debug_nans", False)
+    assert np.isfinite(np.asarray(p1.x)).all()
+    assert np.isfinite(np.asarray(p1.z)).all()
