@@ -520,14 +520,23 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
     # HBM budgeted at compile time: 4x N x 189 gather temps OOM'd the
     # chip at 10M particles.)
     cap = min(n, max(256, n // cfg.oob_frac))
-    rft = pk.build_records_flat(grid, prec)
+    # Patch interpolation mode: "records" gathers ~3x the rows per
+    # particle (3 raw records per stage) but builds nothing grid-sized;
+    # "collapsed" pays a per-internal-step stage-table build
+    # (O(grid cells x HL) bandwidth) to gather 3x less.  Row gathers run
+    # at a fixed row rate on v5e (BASELINE.md), so collapsed wins once
+    # the capacity is large relative to the grid: measured 71.6 ms ->
+    # ~25 ms per external step at cap 15.6k on the 200x200 bench grid.
+    patch_collapsed = cap * 24 > 4 * grid.ny * grid.nx
+    prec_sub = prec if patch_collapsed else pk.build_records_flat(grid, prec)
+    patch_mode = "collapsed" if patch_collapsed else "records"
 
     def run_subset(pp: st.Particles) -> st.Particles:
         def body(carry, i):
             t = t0 + i * idt
             return internal_step(ctx, cfg, base_key, carry, fields, t,
-                                 ext_idx * n_int + i, rft,
-                                 mode="records"), None
+                                 ext_idx * n_int + i, prec_sub,
+                                 mode=patch_mode), None
         p2, _ = jax.lax.scan(body, pp, jnp.arange(n_int))
         return p2
 
