@@ -339,7 +339,7 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                pid_ref, tab_hbm, brows_hbm,
                xo_ref, yo_ref, zo_ref, sto_ref, hitl_ref, hitb_ref,
                oob_ref,
-               wb, wc_, wf, wbd, sems):
+               wtab, wbd, sems):
         b = pl.program_id(0)
         idtc = jnp.float32(idt)
         half = jnp.float32(0.5 * idt)
@@ -359,13 +359,16 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
         # step at 1M particles; transfer time is ~0.2 ms of that — the
         # rest was per-copy latency, which this scheme hides).
         def dma_objs(bank, oy, ox):
+            # ONE strided copy fetches all 3 record windows (the record
+            # axis is just another slice dim): DMA cost on v5e is
+            # dominated by per-copy issue overhead, not bytes, so 2
+            # descriptors per refresh instead of 4 is a direct win
             cps = [pltpu.make_async_copy(
-                tab_hbm.at[k, pl.ds(oy, wy), pl.ds(ox, wx), :],
-                [wb, wc_, wf][k].at[bank], sems.at[bank, k])
-                for k in range(3)]
+                tab_hbm.at[:, pl.ds(oy, wy), pl.ds(ox, wx), :],
+                wtab.at[bank], sems.at[bank, 0])]
             cps.append(pltpu.make_async_copy(
                 brows_hbm.at[pl.ds(oy, wy), pl.ds(ox, wx), :],
-                wbd.at[bank], sems.at[bank, 3]))
+                wbd.at[bank], sems.at[bank, 1]))
             return cps
 
         def dma_start(bank, oy, ox):
@@ -420,214 +423,243 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                           max(ny - wy, 0))
             return oy, ox
 
+        # All-frozen blocks (every particle settled/dead/exited/errored
+        # — absorbing states) skip the WHOLE external step: no DMA, no
+        # stages, no reflection.  ltjax.spatial.sort_by_cell sorts
+        # frozen particles to the tail, so late-run settlement/
+        # mortality configs concentrate them into trailing blocks and
+        # the step cost tracks the LIVE population.  NOT_RELEASED (0)
+        # and ACTIVE (1) both count as live; statuses only ever grow,
+        # so a block live at entry is handled by the compute path for
+        # the whole call (it may freeze mid-call — correct, just not
+        # skipped), and a block frozen at entry can never wake.
+        live_any = jnp.min(st) <= _ACTIVE
+
         oy0, ox0, im0, jm0 = origin(xv, yv, oob)
-        dma_start(0, oy0, ox0)          # bank 0 primed for step 0
+
+        def prime(_):
+            dma_start(0, oy0, ox0)      # bank 0 primed for step 0
+            return 0
+
+        jax.lax.cond(live_any, prime, lambda _: 0, 0)
 
         def body(i, carry):
-            # oob rides as int32: Mosaic cannot legalize i1-vector loop
-            # carries (scf.for legalization failure, observed on v5e)
-            (xv, yv, zv, st, hitl, hitb, oobi,
-             poy, pox, im_prev, jm_prev) = carry
-            oob = oobi != 0
-            oy, ox, im, jm = origin(xv, yv, oob)
-            bank0 = i % 2 == 0
-            mis = (oy != poy) | (ox != pox)
+            def compute(carry):
+                # oob rides as int32: Mosaic cannot legalize i1-vector loop
+                # carries (scf.for legalization failure, observed on v5e)
+                (xv, yv, zv, st, hitl, hitb, oobi,
+                 poy, pox, im_prev, jm_prev) = carry
+                oob = oobi != 0
+                oy, ox, im, jm = origin(xv, yv, oob)
+                bank0 = i % 2 == 0
+                mis = (oy != poy) | (ox != pox)
 
-            def sync(bank):
-                def go(_):
-                    dma_wait(bank, poy, pox)
-
-                    def fix(_):
-                        dma_blocking(bank, oy, ox)
-                        return 0
-
-                    jax.lax.cond(mis, fix, lambda _: 0, 0)
-                    return 0
-                return go
-
-            jax.lax.cond(bank0, sync(0), sync(1), 0)
-
-            # prefetch the NEXT step's windows into the other bank at
-            # the drift-predicted origin (skipped on the last step)
-            npy, npx = predict_origin(im, jm, im_prev, jm_prev)
-            if n_int > 1:
-                def pf(bank):
+                def sync(bank):
                     def go(_):
-                        dma_start(bank, npy, npx)
+                        dma_wait(bank, poy, pox)
+
+                        def fix(_):
+                            dma_blocking(bank, oy, ox)
+                            return 0
+
+                        jax.lax.cond(mis, fix, lambda _: 0, 0)
                         return 0
                     return go
 
-                nop = lambda _: 0
-                issue = i < n_int - 1
-                jax.lax.cond(issue & bank0, pf(1), nop, 0)
-                jax.lax.cond(issue & ~bank0, pf(0), nop, 0)
+                jax.lax.cond(bank0, sync(0), sync(1), 0)
 
-            # active-bank window values (the select fuses into the
-            # consumers; window reads are a tiny fraction of the math)
-            wbv = jnp.where(bank0, wb[0], wb[1])
-            wcv = jnp.where(bank0, wc_[0], wc_[1])
-            wfv = jnp.where(bank0, wf[0], wf[1])
-            wbd_rows = jnp.where(bank0, wbd[0], wbd[1]).reshape(wc, BL)
-            oy_f = oy.astype(jnp.float32)
-            ox_f = ox.astype(jnp.float32)
+                # prefetch the NEXT step's windows into the other bank at
+                # the drift-predicted origin (skipped on the last step)
+                npy, npx = predict_origin(im, jm, im_prev, jm_prev)
+                if n_int > 1:
+                    def pf(bank):
+                        def go(_):
+                            dma_start(bank, npy, npx)
+                            return 0
+                        return go
 
-            # release at DOB
-            i_f = i.astype(jnp.float32)
-            t_i = par_ref[_IDX_T0] + i_f * par_ref[_IDX_IDT]
-            release = (st == _NOT_RELEASED) & (t_i >= dob)
-            st = jnp.where(release, _ACTIVE, st)
-            act = st == _ACTIVE
+                    nop = lambda _: 0
+                    issue = i < n_int - 1
+                    jax.lax.cond(issue & bank0, pf(1), nop, 0)
+                    jax.lax.cond(issue & ~bank0, pf(0), nop, 0)
 
-            # time-collapsed stage windows from the 3 record windows
-            # (collapse only the data lanes; the rest is DMA padding)
-            nlanes = 2 * ntot if pair2 else ntot
-            HLc = min(HL, ((nlanes + 63) // 64) * 64)
+                # active-bank window values: dynamic-slice the bank (major
+                # dim) so only ONE bank's window is ever read — a
+                # jnp.where select would load both banks every step
+                # (measured ~1.2 ms/int-step of pure extra VMEM reads)
+                bank = i % 2
+                w3 = wtab[pl.ds(bank, 1)][0]       # (3, wy, wx, HL)
+                wbv = w3[0]
+                wcv = w3[1]
+                wfv = w3[2]
+                oy_f = oy.astype(jnp.float32)
+                ox_f = ox.astype(jnp.float32)
 
-            def win_at(stage):
-                c = coef0 + 9 * i + 3 * stage
-                return (par_ref[c] * wbv.reshape(wc, HL)[:, :HLc]
-                        + par_ref[c + 1] * wcv.reshape(wc, HL)[:, :HLc]
-                        + par_ref[c + 2] * wfv.reshape(wc, HL)[:, :HLc])
+                # release at DOB
+                i_f = i.astype(jnp.float32)
+                t_i = par_ref[_IDX_T0] + i_f * par_ref[_IDX_IDT]
+                release = (st == _NOT_RELEASED) & (t_i >= dob)
+                st = jnp.where(release, _ACTIVE, st)
+                act = st == _ACTIVE
 
-            w1 = win_at(0)
-            if vturb_aks:
-                u1, v1, ww1, oob1, (bl1, _z_r1, z_w1) = stage_eval(
-                    par_ref, oy_f, ox_f, w1, xv, yv, zv, oob, extras=True)
-            else:
-                u1, v1, ww1, oob1 = stage_eval(par_ref, oy_f, ox_f, w1,
-                                               xv, yv, zv, oob)
-            w2 = win_at(1)
-            u2, v2, ww2, oob1 = stage_eval(
-                par_ref, oy_f, ox_f, w2,
-                xv + u1 * half, yv + v1 * half, zv + ww1 * half, oob1)
-            u3, v3, ww3, oob1 = stage_eval(
-                par_ref, oy_f, ox_f, w2,
-                xv + u2 * half, yv + v2 * half, zv + ww2 * half, oob1)
-            w4 = win_at(2)
-            u4, v4, ww4, oob1 = stage_eval(
-                par_ref, oy_f, ox_f, w4,
-                xv + u3 * idtc, yv + v3 * idtc, zv + ww3 * idtc, oob1)
-            # only active particles' window misses matter
-            oob = oob | (oob1 & act)
+                # time-collapsed stage windows from the 3 record windows
+                # (collapse only the data lanes; the rest is DMA padding)
+                nlanes = 2 * ntot if pair2 else ntot
+                HLc = min(HL, ((nlanes + 63) // 64) * 64)
 
-            x1 = xv + sixth * (u1 + 2.0 * u2 + 2.0 * u3 + u4)
-            y1 = yv + sixth * (v1 + 2.0 * v2 + 2.0 * v3 + v4)
-            z1 = zv + sixth * (ww1 + 2.0 * ww2 + 2.0 * ww3 + ww4)
+                def win_at(stage):
+                    c = coef0 + 9 * i + 3 * stage
+                    return (par_ref[c] * wbv.reshape(wc, HL)[:, :HLc]
+                            + par_ref[c + 1] * wcv.reshape(wc, HL)[:, :HLc]
+                            + par_ref[c + 2] * wfv.reshape(wc, HL)[:, :HLc])
 
-            # --- turbulence (in-kernel Threefry; identical streams to
-            # ltjax.rng, so kernel and XLA-patch paths agree) ----------
-            if any_turb:
-                pidv = pid_ref[0].astype(jnp.uint32)
-                zero_u = jnp.zeros_like(pidv)
-            if hturb_on:
-                kh0 = rngk_ref[4 * i].astype(jnp.uint32)
-                kh1 = rngk_ref[4 * i + 1].astype(jnp.uint32)
-                hb0, hb1 = _rng.threefry2x32(kh0, kh1, pidv, zero_u)
-                n0, n1 = _rng.box_muller(hb0, hb1, jnp.float32)
-                x1 = x1 + n0 * par_ref[_IDX_HSCALE]
-                y1 = y1 + n1 * par_ref[_IDX_HSCALE]
-            if vturb_on:
-                kv0 = rngk_ref[4 * i + 2].astype(jnp.uint32)
-                kv1 = rngk_ref[4 * i + 3].astype(jnp.uint32)
-                vb0, _ = _rng.threefry2x32(kv0, kv1, pidv, zero_u)
-                R = _rng.bits_to_symmetric(vb0, jnp.float32)
+                w1 = win_at(0)
                 if vturb_aks:
-                    # Visser RDM on the spline-fit Aks(z) profile
-                    # (mirrors ltjax.physics.turb.vturb)
-                    prof_a = [jnp.maximum(bl1[nv + k], 0.0)
-                              for k in range(ws)]
-                    z2a = _fit_thomas(z_w1, prof_a, c_off, c_diag)
-                    kprime = _eval_spline_deriv(zv, z_w1, prof_a, z2a, ds)
-                    zmid = jnp.clip(zv + 0.5 * kprime * idtc,
-                                    z_w1[0], z_w1[-1])
-                    kmid = jnp.maximum(
-                        _eval_spline(zmid, z_w1, prof_a, z2a, gs), 0.0)
-                    z1 = z1 + kprime * idtc + R * jnp.sqrt(
-                        6.0 * kmid * idtc)
+                    u1, v1, ww1, oob1, (bl1, _z_r1, z_w1) = stage_eval(
+                        par_ref, oy_f, ox_f, w1, xv, yv, zv, oob, extras=True)
                 else:
-                    z1 = z1 + R * par_ref[_IDX_VCONST]
+                    u1, v1, ww1, oob1 = stage_eval(par_ref, oy_f, ox_f, w1,
+                                                   xv, yv, zv, oob)
+                w2 = win_at(1)
+                u2, v2, ww2, oob1 = stage_eval(
+                    par_ref, oy_f, ox_f, w2,
+                    xv + u1 * half, yv + v1 * half, zv + ww1 * half, oob1)
+                u3, v3, ww3, oob1 = stage_eval(
+                    par_ref, oy_f, ox_f, w2,
+                    xv + u2 * half, yv + v2 * half, zv + ww2 * half, oob1)
+                w4 = win_at(2)
+                u4, v4, ww4, oob1 = stage_eval(
+                    par_ref, oy_f, ox_f, w4,
+                    xv + u3 * idtc, yv + v3 * idtc, zv + ww3 * idtc, oob1)
+                # only active particles' window misses matter
+                oob = oob | (oob1 & act)
 
-            if sink_on:
-                # behavior type 6: constant sinking velocity
-                # (behavior_module.f90 `sink`, SURVEY.md SS2.1 #8)
-                z1 = z1 + par_ref[_IDX_SINKDZ]
+                x1 = xv + sixth * (u1 + 2.0 * u2 + 2.0 * u3 + u4)
+                y1 = yv + sixth * (v1 + 2.0 * v2 + 2.0 * v3 + v4)
+                z1 = zv + sixth * (ww1 + 2.0 * ww2 + 2.0 * ww3 + ww4)
 
-            # horizontal boundary reflection (skipped when the window
-            # holds no segments — interior blocks)
-            any_seg = jnp.max(wbd_rows[:, 13]) > 0.5
+                # --- turbulence (in-kernel Threefry; identical streams to
+                # ltjax.rng, so kernel and XLA-patch paths agree) ----------
+                if any_turb:
+                    pidv = pid_ref[0].astype(jnp.uint32)
+                    zero_u = jnp.zeros_like(pidv)
+                if hturb_on:
+                    kh0 = rngk_ref[4 * i].astype(jnp.uint32)
+                    kh1 = rngk_ref[4 * i + 1].astype(jnp.uint32)
+                    hb0, hb1 = _rng.threefry2x32(kh0, kh1, pidv, zero_u)
+                    n0, n1 = _rng.box_muller(hb0, hb1, jnp.float32)
+                    x1 = x1 + n0 * par_ref[_IDX_HSCALE]
+                    y1 = y1 + n1 * par_ref[_IDX_HSCALE]
+                if vturb_on:
+                    kv0 = rngk_ref[4 * i + 2].astype(jnp.uint32)
+                    kv1 = rngk_ref[4 * i + 3].astype(jnp.uint32)
+                    vb0, _ = _rng.threefry2x32(kv0, kv1, pidv, zero_u)
+                    R = _rng.bits_to_symmetric(vb0, jnp.float32)
+                    if vturb_aks:
+                        # Visser RDM on the spline-fit Aks(z) profile
+                        # (mirrors ltjax.physics.turb.vturb)
+                        prof_a = [jnp.maximum(bl1[nv + k], 0.0)
+                                  for k in range(ws)]
+                        z2a = _fit_thomas(z_w1, prof_a, c_off, c_diag)
+                        kprime = _eval_spline_deriv(zv, z_w1, prof_a, z2a, ds)
+                        zmid = jnp.clip(zv + 0.5 * kprime * idtc,
+                                        z_w1[0], z_w1[-1])
+                        kmid = jnp.maximum(
+                            _eval_spline(zmid, z_w1, prof_a, z2a, gs), 0.0)
+                        z1 = z1 + kprime * idtc + R * jnp.sqrt(
+                            6.0 * kmid * idtc)
+                    else:
+                        z1 = z1 + R * par_ref[_IDX_VCONST]
 
-            def with_reflect(args):
-                x0_, y0_, x1_, y1_, act_, hitl_, oob_ = args
-                xr_, yr_, ex_, stk_, hl_, ob_ = reflect_block(
-                    par_ref, wbd_rows, oy_f, ox_f, x0_, y0_, x1_, y1_,
-                    act_ != 0, hitl_, oob_ != 0)
-                return (xr_, yr_, ex_.astype(jnp.int32),
-                        stk_.astype(jnp.int32), hl_, ob_.astype(jnp.int32))
+                if sink_on:
+                    # behavior type 6: constant sinking velocity
+                    # (behavior_module.f90 `sink`, SURVEY.md SS2.1 #8)
+                    z1 = z1 + par_ref[_IDX_SINKDZ]
 
-            def no_reflect(args):
-                x0_, y0_, x1_, y1_, act_, hitl_, oob_ = args
-                false = jnp.zeros((PS, 128), jnp.int32)
-                return x1_, y1_, false, false, hitl_, oob_
+                # horizontal boundary reflection (skipped when the window
+                # holds no segments — interior blocks).  The trigger reads
+                # only the lane-13 slice of each bank (tiny); the FULL
+                # boundary-row window is loaded inside the cond so interior
+                # blocks never touch it.
+                s13 = jnp.where(bank0, wbd[0, :, :, 13], wbd[1, :, :, 13])
+                any_seg = jnp.max(s13) > 0.5
 
-            xri, yri, exitedi, stucki, hitl, oobi2 = jax.lax.cond(
-                any_seg, with_reflect, no_reflect,
-                (xv, yv, x1, y1, act.astype(jnp.int32), hitl,
-                 oob.astype(jnp.int32)))
-            xr, yr = xri, yri
-            exited = exitedi != 0
-            stuck = stucki != 0
-            oob = oobi2 != 0
+                def with_reflect(args):
+                    x0_, y0_, x1_, y1_, act_, hitl_, oob_ = args
+                    wbd_rows = wbd[pl.ds(bank, 1)][0].reshape(wc, BL)
+                    xr_, yr_, ex_, stk_, hl_, ob_ = reflect_block(
+                        par_ref, wbd_rows, oy_f, ox_f, x0_, y0_, x1_, y1_,
+                        act_ != 0, hitl_, oob_ != 0)
+                    return (xr_, yr_, ex_.astype(jnp.int32),
+                            stk_.astype(jnp.int32), hl_, ob_.astype(jnp.int32))
 
-            # vertical reflection about zeta/h at the new column (t+idt)
-            tx = (xr - par_ref[_IDX_X0]) * par_ref[_IDX_INVDX]
-            ty = (yr - par_ref[_IDX_Y0]) * par_ref[_IDX_INVDY]
-            ii2 = jnp.clip(jnp.floor(tx), 0.0, float(nx - 2))
-            jj2 = jnp.clip(jnp.floor(ty), 0.0, float(ny - 2))
-            fx = jnp.clip(tx - ii2, 0.0, 1.0)
-            fy = jnp.clip(ty - jj2, 0.0, 1.0)
-            li_max = float(wx - 1) if pair2 else float(wx - 2)
-            li = jnp.clip(ii2 - ox_f, 0.0, li_max)
-            lj = jnp.clip(jj2 - oy_f, 0.0, float(wy - 2))
-            if pair2:
-                fy_q = jnp.round(fy * 256.0) * jnp.float32(1.0 / 256.0)
-                wtp = make_rowpair_onehot(li, lj, fy_q, P, wy, wx)
-                zh4 = pair_dot(jnp.concatenate(
-                    [w4[:, nv - 2:nv],
-                     w4[:, ntot + nv - 2:ntot + nv]], axis=1), wtp)
-                z4 = zh4.reshape(4, PS, 128)
-                zeta_p = z4[0] + fx * (z4[2] - z4[0])
-                h_p = z4[1] + fx * (z4[3] - z4[1])
-            else:
-                wt = make_bilinear_onehot(li, lj, fx, fy, P, wy, wx)
-                zh = zh_dot(w4[:, nv - 2:nv], wt)         # (2, P)
-                zhr = zh.reshape(2, PS, 128)
-                zeta_p = zhr[0]
-                h_p = zhr[1]
-            above = z1 > zeta_p
-            z1r = jnp.where(above, 2.0 * zeta_p - z1, z1)
-            below = z1r < -h_p
-            z2r = jnp.where(below, -2.0 * h_p - z1r, z1r)
-            zr = jnp.clip(z2r, -h_p, zeta_p)
-            hitb = hitb + jnp.where(act & below, 1, 0)
+                def no_reflect(args):
+                    x0_, y0_, x1_, y1_, act_, hitl_, oob_ = args
+                    false = jnp.zeros((PS, 128), jnp.int32)
+                    return x1_, y1_, false, false, hitl_, oob_
 
-            # apply updates under masks (matches ltjax.step.internal_step)
-            xv = jnp.where(act, xr, xv)
-            yv = jnp.where(act, yr, yv)
-            zv = jnp.where(act, zr, zv)
-            st = jnp.where(act & exited, _OUT_OF_DOMAIN, st)
-            st = jnp.where(act & stuck, _ERROR, st)
-            if mortality:
-                # deterministic death at deadage (mirrors
-                # ltjax.physics.behavior; [conf: M] — see its docstring);
-                # the XLA path tests the PRE-step age (behave() sees
-                # p.age = t_i - dob), and DEAD overrides a same-step
-                # stuck ERROR but not an exit, matching internal_step's
-                # status-update order
-                age_pre = t_i - dob
-                dies = act & ~exited & (age_pre >= par_ref[_IDX_DEADAGE])
-                st = jnp.where(dies, _DEAD, st)
-            return (xv, yv, zv, st, hitl, hitb, oob.astype(jnp.int32),
-                    npy, npx, im, jm)
+                xri, yri, exitedi, stucki, hitl, oobi2 = jax.lax.cond(
+                    any_seg, with_reflect, no_reflect,
+                    (xv, yv, x1, y1, act.astype(jnp.int32), hitl,
+                     oob.astype(jnp.int32)))
+                xr, yr = xri, yri
+                exited = exitedi != 0
+                stuck = stucki != 0
+                oob = oobi2 != 0
+
+                # vertical reflection about zeta/h at the new column (t+idt)
+                tx = (xr - par_ref[_IDX_X0]) * par_ref[_IDX_INVDX]
+                ty = (yr - par_ref[_IDX_Y0]) * par_ref[_IDX_INVDY]
+                ii2 = jnp.clip(jnp.floor(tx), 0.0, float(nx - 2))
+                jj2 = jnp.clip(jnp.floor(ty), 0.0, float(ny - 2))
+                fx = jnp.clip(tx - ii2, 0.0, 1.0)
+                fy = jnp.clip(ty - jj2, 0.0, 1.0)
+                li_max = float(wx - 1) if pair2 else float(wx - 2)
+                li = jnp.clip(ii2 - ox_f, 0.0, li_max)
+                lj = jnp.clip(jj2 - oy_f, 0.0, float(wy - 2))
+                if pair2:
+                    fy_q = jnp.round(fy * 256.0) * jnp.float32(1.0 / 256.0)
+                    wtp = make_rowpair_onehot(li, lj, fy_q, P, wy, wx)
+                    zh4 = pair_dot(jnp.concatenate(
+                        [w4[:, nv - 2:nv],
+                         w4[:, ntot + nv - 2:ntot + nv]], axis=1), wtp)
+                    z4 = zh4.reshape(4, PS, 128)
+                    zeta_p = z4[0] + fx * (z4[2] - z4[0])
+                    h_p = z4[1] + fx * (z4[3] - z4[1])
+                else:
+                    wt = make_bilinear_onehot(li, lj, fx, fy, P, wy, wx)
+                    zh = zh_dot(w4[:, nv - 2:nv], wt)         # (2, P)
+                    zhr = zh.reshape(2, PS, 128)
+                    zeta_p = zhr[0]
+                    h_p = zhr[1]
+                above = z1 > zeta_p
+                z1r = jnp.where(above, 2.0 * zeta_p - z1, z1)
+                below = z1r < -h_p
+                z2r = jnp.where(below, -2.0 * h_p - z1r, z1r)
+                zr = jnp.clip(z2r, -h_p, zeta_p)
+                hitb = hitb + jnp.where(act & below, 1, 0)
+
+                # apply updates under masks (matches ltjax.step.internal_step)
+                xv = jnp.where(act, xr, xv)
+                yv = jnp.where(act, yr, yv)
+                zv = jnp.where(act, zr, zv)
+                st = jnp.where(act & exited, _OUT_OF_DOMAIN, st)
+                st = jnp.where(act & stuck, _ERROR, st)
+                if mortality:
+                    # deterministic death at deadage (mirrors
+                    # ltjax.physics.behavior; [conf: M] — see its docstring);
+                    # the XLA path tests the PRE-step age (behave() sees
+                    # p.age = t_i - dob), and DEAD overrides a same-step
+                    # stuck ERROR but not an exit, matching internal_step's
+                    # status-update order
+                    age_pre = t_i - dob
+                    dies = act & ~exited & (age_pre >= par_ref[_IDX_DEADAGE])
+                    st = jnp.where(dies, _DEAD, st)
+                return (xv, yv, zv, st, hitl, hitb, oob.astype(jnp.int32),
+                        npy, npx, im, jm)
+
+            return jax.lax.cond(live_any, compute,
+                                lambda c: c, carry)
 
         xv, yv, zv, st, hitl, hitb, oobi, _, _, _, _ = jax.lax.fori_loop(
             0, n_int, body,
@@ -721,12 +753,11 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
                                 memory_space=pltpu.VMEM)] * 7,
         scratch_shapes=[
             # double-banked windows: bank i%2 computes step i while the
-            # other bank prefetches step i+1 (predictive DMA overlap)
-            pltpu.VMEM((2, wy, wx, HL), jnp.float32),
-            pltpu.VMEM((2, wy, wx, HL), jnp.float32),
-            pltpu.VMEM((2, wy, wx, HL), jnp.float32),
+            # other bank prefetches step i+1 (predictive DMA overlap);
+            # the 3 record windows share one strided copy
+            pltpu.VMEM((2, 3, wy, wx, HL), jnp.float32),
             pltpu.VMEM((2, wy, wx, BL), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
 

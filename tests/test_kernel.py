@@ -422,3 +422,54 @@ def test_ext_step_mega_sink_mortality():
                                rtol=0, atol=1e-3)
     np.testing.assert_allclose(np.asarray(xo)[ok], np.asarray(pp.x)[ok],
                                rtol=0, atol=0.5)
+
+
+def test_ext_step_mega_frozen_block_skipped():
+    """An all-frozen block (every particle settled/dead/exited/errored)
+    must pass through the megakernel untouched — positions bit-equal,
+    no oob flags, no collision counters — while live blocks still
+    compute (the frozen-skip cond in ltjax.kernels.ext_step)."""
+    from ltjax import state as st
+    from ltjax.kernels import ext_step as es
+    from ltjax.physics import boundary as bd
+    from ltjax.step import boundary_s_max
+
+    dtype = jnp.float32
+    us = 6
+    c = synth.make_solid_body_case(nx=41, ny=41, us=us, lx=100e3, ly=100e3,
+                                   h0=50.0, omega=1e-4, dtype=dtype)
+    fs = synth.fieldset_for(c, t_center=900.0, dt=1800.0, dtype=dtype)
+    grid = c.grid
+    bounds = bd.build_boundaries(np.asarray(grid.mask_rho),
+                                 np.asarray(grid.x_rho),
+                                 np.asarray(grid.y_rho))
+    n_int = 4
+    rng_ = np.random.default_rng(3)
+    n = 512                                # 2 blocks of 256
+    p = st.init_particles(rng_.uniform(38e3, 52e3, n),
+                          rng_.uniform(38e3, 52e3, n),
+                          rng_.uniform(-40.0, -5.0, n), dtype=dtype)
+    status = np.full(n, st.ACTIVE, np.int32)
+    status[256:] = np.asarray(rng_.choice(
+        [st.SETTLED, st.DEAD, st.OUT_OF_DOMAIN, st.ERROR], 256))
+    p = p._replace(status=jnp.asarray(status))
+
+    prec = pk.build_packed_records(grid, fs)
+    rtab = pk.build_record_tables(grid, prec)
+    brows = jnp.asarray(es.boundary_rows_table(bounds, grid.ny, grid.nx))
+    params = es.params_array_ext(grid, bounds, 5e-4, 0.0, fs.times,
+                                 450.0, n_int)
+    xo, yo, zo, sto, hitl, hitb, oob = es.ext_step_fused(
+        grid, rtab, brows, params, p.x, p.y, p.z, p.dob, p.status,
+        0.0, n_int, 450.0, n_iter=2, p_block=256,
+        s_max=boundary_s_max(bounds), open_exits=True, interpret=True)
+
+    # frozen block: bit-equal pass-through
+    np.testing.assert_array_equal(np.asarray(xo)[256:], np.asarray(p.x)[256:])
+    np.testing.assert_array_equal(np.asarray(yo)[256:], np.asarray(p.y)[256:])
+    np.testing.assert_array_equal(np.asarray(zo)[256:], np.asarray(p.z)[256:])
+    np.testing.assert_array_equal(np.asarray(sto)[256:], status[256:])
+    assert not np.asarray(oob)[256:].any()
+    assert (np.asarray(hitl)[256:] == 0).all()
+    # live block: particles actually moved
+    assert np.abs(np.asarray(xo)[:256] - np.asarray(p.x)[:256]).max() > 1.0

@@ -24,7 +24,9 @@ from ltjax.step import boundary_s_max, internal_step
 
 @pytest.fixture(scope="module")
 def setup():
-    cfg, ctx, fs, p = build(numpar=1_000_000)
+    # 488 * 2048: ext_step_fused takes whole blocks (the production
+    # caller pads; this suite calls the kernel directly)
+    cfg, ctx, fs, p = build(numpar=999_424)
     grid = ctx.grid
     ci, _ = locate(grid.x_rho, p.x, grid.uniform)
     cj, _ = locate(grid.y_rho, p.y, grid.uniform)
