@@ -52,7 +52,7 @@ ps, _ = sp.sort_by_cell(p, ci, cj)
 ps = jax.block_until_ready(ps)
 
 
-def run_combo(wy, wx, pb, precision, fast_math, dma_every=1, reps=5):
+def run_combo(wy, wx, pb, precision, fast_math, sfast=True, reps=5):
     pad = (-N) % pb
 
     def padded(a, fill=None):
@@ -72,7 +72,7 @@ def run_combo(wy, wx, pb, precision, fast_math, dma_every=1, reps=5):
             p_block=pb, s_max=s_max, precision=precision,
             open_exits=cfg.OpenOceanBoundary, pids=pid, rngk=None,
             hturb_on=False, vturb_on=False, with_aks=False,
-            window=(wy, wx), fast_math=fast_math, dma_every=dma_every)
+            window=(wy, wx), fast_math=fast_math, sfast=sfast)
 
     args = (padded(ps.x), padded(ps.y), padded(ps.z),
             padded(ps.dob, jnp.inf), padded(ps.status, st.NOT_RELEASED),
@@ -88,27 +88,27 @@ def run_combo(wy, wx, pb, precision, fast_math, dma_every=1, reps=5):
 
 
 COMBOS = [
-    # (wy, wx, p_block, precision_name, fast_math, dma_every)
-    (16, 16, 4096, "pair2", True, 4),
-    (16, 16, 4096, "pair2", True, 1),
-    (16, 16, 2048, "pair2", True, 4),
-    (16, 16, 4096, "hilo3", True, 4),
-    (16, 16, 4096, "default", True, 4),
+    # (wy, wx, p_block, precision_name, fast_math, sfast)
+    (16, 16, 2048, "pair2", True, True),
+    (16, 16, 2048, "pair2", True, False),   # sfast A/B baseline
+    (16, 8, 2048, "pair2", True, True),
+    (16, 8, 1024, "pair2", True, True),
+    (8, 16, 1024, "pair2", True, True),
 ]
 
 print(f"N={N} n_int={n_int} (one ext step, kernel only)")
-for wy, wx, pb, pname, fm, de in COMBOS:
+for wy, wx, pb, pname, fm, sf in COMBOS:
     from ltjax.config import Config
     pr = {"hilo3": "hilo3", "pair2": "pair2",
           "default": jax.lax.Precision.DEFAULT,
           "highest": jax.lax.Precision.HIGHEST}[pname]
     try:
-        dt_s, oob = run_combo(wy, wx, pb, pr, fm, de)
+        dt_s, oob = run_combo(wy, wx, pb, pr, fm, sf)
         rate = N * n_int / dt_s
         print(f"w={wy}x{wx} pb={pb:5d} {pname:7s} fm={int(fm)} "
-              f"de={de}: {dt_s*1e3:7.2f} ms  "
+              f"sf={int(sf)}: {dt_s*1e3:7.2f} ms  "
               f"{rate/1e6:7.1f} M steps/s  oob={oob*100:.3f}%")
     except Exception as e:  # noqa: BLE001 — sweep survives bad combos
         print(f"w={wy}x{wx} pb={pb:5d} {pname:7s} fm={int(fm)} "
-              f"de={de}: FAILED {type(e).__name__}: {str(e)[:200]}")
+              f"sf={int(sf)}: FAILED {type(e).__name__}: {str(e)[:200]}")
     sys.stdout.flush()

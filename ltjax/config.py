@@ -167,12 +167,14 @@ class Config:
     kernel_fast_math: bool = True # kernel divides via approx-reciprocal
                                   #   + 2 Newton steps (~1-2 ulp of an
                                   #   exact f32 divide)
-    kernel_dma_every: int = 1     # megakernel window-DMA refresh cadence
-                                  #   in internal steps; 1 (default) =
-                                  #   refresh every step — measured as
-                                  #   fast as 4 on v5e AND ~2k fewer
-                                  #   window misses at 1M (drift between
-                                  #   refreshes eats window margin)
+    kernel_sfast: bool = True     # constant-ladder s-space vertical
+                                  #   spline in the fused kernels on
+                                  #   affine-ladder grids (Cs==s or
+                                  #   hc==0; grid.affine_ladders) —
+                                  #   exactly equal to the z-space
+                                  #   scheme up to f32 rounding; False
+                                  #   forces the per-particle z-space
+                                  #   path everywhere
     ext_fuse: int = 4             # external steps fused per compiled
                                   #   call on the megakernel path (the
                                   #   field window holds ext_fuse + 2

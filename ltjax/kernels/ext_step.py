@@ -49,9 +49,11 @@ from ..physics.boundary import Boundaries, LAND, OPEN
 from .. import rng as _rng
 from .gather_interp import (WC, WX, WY, _IDX_HC, _IDX_INVDX, _IDX_INVDY,
                             _IDX_SC0, _IDX_X0, _IDX_Y0, _IDX_Z0, _ds_fn,
-                            _eval_spline, _eval_spline_deriv, _fit_thomas,
-                            _gs_fns, make_bilinear_onehot, make_cell_onehot,
-                            make_stage_eval)
+                            _eval_spline, _eval_spline_const_multi,
+                            _eval_spline_deriv, _eval_spline_deriv_const,
+                            _fit_thomas, _fit_thomas_const_multi, _gs_fns,
+                            const_ladder, make_bilinear_onehot,
+                            make_cell_onehot, make_stage_eval)
 
 # extra head-scalar slots (gather_interp reserves 0..5; 6..15 ours)
 _IDX_BX0 = 6       # boundary cell-edge x origin
@@ -185,11 +187,9 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                      p_block: int, precision, open_exits: bool,
                      s_max: int, hturb_on: bool, vturb_on: bool,
                      vturb_aks: bool, window=(WY, WX),
-                     fast_math: bool = False, dma_every: int = 1,
-                     sink_on: bool = False, mortality: bool = False):
-    # dma_every is accepted for call-site compatibility but ignored:
-    # the predictive double-banked DMA refreshes (overlapped) every
-    # step, which strictly dominates any fixed cadence.
+                     fast_math: bool = False,
+                     sink_on: bool = False, mortality: bool = False,
+                     ladder=None):
     P = p_block
     PS = P // 128
     wy, wx = window
@@ -199,7 +199,8 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
     pair2 = precision == "pair2"
     stage_eval = make_stage_eval(grid, sigma, nv, HL, P, precision,
                                  window=window, fast_math=fast_math,
-                                 ntot=ntot)
+                                 ntot=ntot, ladder=ladder)
+    CW_k = const_ladder(ladder[1], sigma) if ladder is not None else None
     coef0 = _head_len(grid.us, grid.ws)
     gs, c_off, c_diag = _gs_fns(sigma)
     ds = _ds_fn(sigma)
@@ -515,7 +516,7 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
 
                 w1 = win_at(0)
                 if vturb_aks:
-                    u1, v1, ww1, oob1, (bl1, _z_r1, z_w1) = stage_eval(
+                    u1, v1, ww1, oob1, aux1 = stage_eval(
                         par_ref, oy_f, ox_f, w1, xv, yv, zv, oob, extras=True)
                 else:
                     u1, v1, ww1, oob1 = stage_eval(par_ref, oy_f, ox_f, w1,
@@ -558,14 +559,29 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                     if vturb_aks:
                         # Visser RDM on the spline-fit Aks(z) profile
                         # (mirrors ltjax.physics.turb.vturb)
+                        bl1 = aux1[0]
                         prof_a = [jnp.maximum(bl1[nv + k], 0.0)
                                   for k in range(ws)]
-                        z2a = _fit_thomas(z_w1, prof_a, c_off, c_diag)
-                        kprime = _eval_spline_deriv(zv, z_w1, prof_a, z2a, ds)
-                        zmid = jnp.clip(zv + 0.5 * kprime * idtc,
-                                        z_w1[0], z_w1[-1])
-                        kmid = jnp.maximum(
-                            _eval_spline(zmid, z_w1, prof_a, z2a, gs), 0.0)
+                        if ladder is not None:
+                            # sfast: constant w-ladder in s-space;
+                            # dK/dz = dK/ds * (1/b)
+                            _, sq1, binv1 = aux1
+                            z2a = _fit_thomas_const_multi([prof_a], CW_k)[0]
+                            kprime = _eval_spline_deriv_const(
+                                sq1, CW_k, prof_a, z2a, ds) * binv1
+                            smid = sq1 + 0.5 * kprime * idtc * binv1
+                            kmid = jnp.maximum(_eval_spline_const_multi(
+                                smid, CW_k, [prof_a], [z2a], gs)[0], 0.0)
+                        else:
+                            _, _z_r1, z_w1 = aux1
+                            z2a = _fit_thomas(z_w1, prof_a, c_off, c_diag)
+                            kprime = _eval_spline_deriv(zv, z_w1, prof_a,
+                                                        z2a, ds)
+                            zmid = jnp.clip(zv + 0.5 * kprime * idtc,
+                                            z_w1[0], z_w1[-1])
+                            kmid = jnp.maximum(
+                                _eval_spline(zmid, z_w1, prof_a, z2a, gs),
+                                0.0)
                         z1 = z1 + kprime * idtc + R * jnp.sqrt(
                             6.0 * kmid * idtc)
                     else:
@@ -578,10 +594,11 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
 
                 # horizontal boundary reflection (skipped when the window
                 # holds no segments — interior blocks).  The trigger reads
-                # only the lane-13 slice of each bank (tiny); the FULL
-                # boundary-row window is loaded inside the cond so interior
-                # blocks never touch it.
-                s13 = jnp.where(bank0, wbd[0, :, :, 13], wbd[1, :, :, 13])
+                # only the lane-13 slice of the ACTIVE bank (tiny; the
+                # other bank has the next step's prefetch DMA in flight,
+                # so it must not be read); the FULL boundary-row window is
+                # loaded inside the cond so interior blocks never touch it.
+                s13 = wbd[pl.ds(bank, 1)][0][:, :, 13]
                 any_seg = jnp.max(s13) > 0.5
 
                 def with_reflect(args):
@@ -687,8 +704,8 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
                    hturb_on: bool = False, vturb_on: bool = False,
                    with_aks: bool = False,
                    window=(WY, WX), fast_math: bool = False,
-                   dma_every: int = 1,
                    sink_on: bool = False, mortality: bool = False,
+                   sfast: bool = True,
                    interpret: bool = False):
     """Run one full external step in-kernel.
 
@@ -721,14 +738,16 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
     # packed layout (nv core lanes + optional ws aks lanes)
     ntot = nv + (grid.ws if with_aks else 0)
     wy, wx = window
+    from ..grid import affine_ladders
+    ladder = affine_ladders(grid) if sfast else None
     kern = _make_ext_kernel(grid, float(sigma), float(idt), nv, ntot,
                             HL, BL, n_int, n_iter, P_, precision,
                             open_exits=open_exits, s_max=s_real,
                             hturb_on=hturb_on, vturb_on=vturb_on,
                             vturb_aks=vturb_on and with_aks,
                             window=window, fast_math=fast_math,
-                            dma_every=dma_every, sink_on=sink_on,
-                            mortality=mortality)
+                            sink_on=sink_on, mortality=mortality,
+                            ladder=ladder)
 
     fshape = jax.ShapeDtypeStruct((B, PS, 128), jnp.float32)
     ishape = jax.ShapeDtypeStruct((B, PS, 128), jnp.int32)

@@ -248,6 +248,139 @@ def _eval_spline(zq, zk, yk, z2, gs, recip=None):
     return _eval_spline_multi(zq, zk, [yk], [z2], gs, recip=recip)[0]
 
 
+def const_ladder(ladder, sigma: float) -> dict:
+    """Host-precomputed spline constants for a FIXED knot ladder
+    (grid.affine_ladders): interval widths, their reciprocals, Thomas
+    off-diagonals and factorization — all compile-time Python floats.
+
+    The "sfast" vertical scheme: on affine-ladder grids the fit/eval
+    runs in s-space at these constant knots (exactly equal to the
+    z-space scheme by the affine invariance documented at
+    grid.affine_ladders), deleting the per-particle knot ladders,
+    interval widths, and Thomas factorization sweeps from the kernel —
+    the single largest VPU cost of a stage evaluation.
+    """
+    L = [float(v) for v in np.asarray(ladder, np.float64)]
+    K = len(L)
+    _, c_off, c_diag = _gs_fns(sigma)
+    hs = [L[k + 1] - L[k] for k in range(K - 1)]
+    inv_hs = [1.0 / h for h in hs]
+    off = [h * c_off for h in hs]
+    dia = [h * c_diag for h in hs]
+    cp = [0.0] * K
+    invs = [0.0] * K
+    for i in range(1, K - 1):
+        invs[i] = 1.0 / ((dia[i - 1] + dia[i]) - off[i - 1] * cp[i - 1])
+        cp[i] = off[i] * invs[i]
+    return dict(L=L, hs=hs, inv_hs=inv_hs, off=off, invs=invs, cp=cp)
+
+
+def _fit_thomas_const_multi(yks, C: dict):
+    """Natural tension-spline fit on the constant ladder ``C``
+    (const_ladder): value-identical to _fit_thomas_multi with knots
+    z_k = a + b*L_k up to the 1/b^2 scale that _eval_spline_const_multi
+    absorbs (affine invariance).  All matrix data are scalar constants;
+    only the per-profile rhs sweeps remain vector work."""
+    K = len(C["L"])
+    inv_hs = C["inv_hs"]
+    off = C["off"]
+    invs = C["invs"]
+    cp = C["cp"]
+    zero = jnp.zeros_like(yks[0][0])
+    outs = []
+    for yk in yks:
+        dy = [(yk[k + 1] - yk[k]) * inv_hs[k] for k in range(K - 1)]
+        dp = [zero] * K
+        for i in range(1, K - 1):
+            t = dy[i] - dy[i - 1]
+            if i > 1:
+                t = t - off[i - 1] * dp[i - 1]
+            dp[i] = t * invs[i]
+        z2 = [zero] * K
+        x = zero
+        for i in range(K - 2, 0, -1):
+            x = dp[i] - cp[i] * x
+            z2[i] = x
+        outs.append(z2)
+    return outs
+
+
+def _eval_spline_const_multi(sq, C: dict, yks, z2s, gs):
+    """Evaluate splines fit on the constant ladder at sq (clamped).
+
+    The interval bookkeeping (knots, widths, reciprocals) folds into
+    three scalar-coefficient accumulators (invh, c0, hsq); only the
+    per-profile y/z2 corner accumulation remains per-interval vector
+    work.  B2 = (sq - L_k)/hs_k = sq*invh - c0 for the active interval.
+    """
+    K = len(C["L"])
+    L = C["L"]
+    inv_hs = C["inv_hs"]
+    hs = C["hs"]
+    nprof = len(yks)
+    sq = jnp.minimum(jnp.maximum(sq, L[0]), L[K - 1])
+    one = jnp.ones_like(sq)
+    zero = jnp.zeros_like(sq)
+    y0 = [zero] * nprof
+    y1 = [zero] * nprof
+    s0 = [zero] * nprof
+    s1 = [zero] * nprof
+    invh = zero
+    c0 = zero
+    hsq = zero
+    prev = one
+    for k in range(K - 1):
+        nxt = jnp.where(sq >= L[k + 1], one, zero) if k < K - 2 else zero
+        ind = prev - nxt
+        prev = nxt
+        invh = invh + ind * inv_hs[k]
+        c0 = c0 + ind * (L[k] * inv_hs[k])
+        hsq = hsq + ind * (hs[k] * hs[k])
+        for p in range(nprof):
+            y0[p] = y0[p] + ind * yks[p][k]
+            y1[p] = y1[p] + ind * yks[p][k + 1]
+            s0[p] = s0[p] + ind * z2s[p][k]
+            s1[p] = s1[p] + ind * z2s[p][k + 1]
+    B2 = sq * invh - c0
+    B1 = 1.0 - B2
+    g1 = gs(B1)
+    g2 = gs(B2)
+    return [y0[p] * B1 + y1[p] * B2 + hsq * (s0[p] * g1 + s1[p] * g2)
+            for p in range(nprof)]
+
+
+def _eval_spline_deriv_const(sq, C: dict, yk, z2, ds):
+    """dH/ds at sq on the constant ladder (multiply by ds/dz = 1/b for
+    the z-space derivative); mirrors _eval_spline_deriv."""
+    K = len(C["L"])
+    L = C["L"]
+    inv_hs = C["inv_hs"]
+    hs = C["hs"]
+    sq = jnp.minimum(jnp.maximum(sq, L[0]), L[K - 1])
+    one = jnp.ones_like(sq)
+    zero = jnp.zeros_like(sq)
+    dyq = zero
+    s0 = zero
+    s1 = zero
+    invh = zero
+    c0 = zero
+    hsv = zero
+    prev = one
+    for k in range(K - 1):
+        nxt = jnp.where(sq >= L[k + 1], one, zero) if k < K - 2 else zero
+        ind = prev - nxt
+        prev = nxt
+        dyq = dyq + ind * ((yk[k + 1] - yk[k]) * inv_hs[k])
+        s0 = s0 + ind * z2[k]
+        s1 = s1 + ind * z2[k + 1]
+        invh = invh + ind * inv_hs[k]
+        c0 = c0 + ind * (L[k] * inv_hs[k])
+        hsv = hsv + ind * hs[k]
+    B2 = sq * invh - c0
+    B1 = 1.0 - B2
+    return dyq + hsv * (s0 * ds(B1) - s1 * ds(B2))
+
+
 def make_bilinear_onehot(li, lj, fx, fy, P: int, wy: int = WY,
                          wx: int = WX):
     """Bilinear one-hot weight matrix W (wy*wx, P) from window-local
@@ -356,7 +489,8 @@ def blend_dot_fn(precision):
 
 def make_stage_eval(grid: Grid, sigma: float, nv: int, HL: int,
                     p_block: int, precision, window=(WY, WX),
-                    fast_math: bool = False, ntot: "int | None" = None):
+                    fast_math: bool = False, ntot: "int | None" = None,
+                    ladder=None):
     """Build the shared find_currents evaluator for fused kernels.
 
     Returns ``stage_eval(par_ref, oy_f, ox_f, win, xv, yv, zv, oob)``
@@ -368,7 +502,14 @@ def make_stage_eval(grid: Grid, sigma: float, nv: int, HL: int,
     in f32; ``window``: (wy, wx) VMEM window cell extent; ``fast_math``:
     see _recip_fn; ``ntot``: data lanes per cell (pair stride for
     pair2; defaults to nv — pass the aks-extended count when the
-    tables carry Aks lanes).
+    tables carry Aks lanes); ``ladder``: fixed vertical knot ladders
+    (L_r, L_w) from grid.affine_ladders — engages the s-space constant-
+    knot vertical scheme ("sfast", see const_ladder), value-equal to
+    the z-space scheme up to f32 rounding.
+
+    With extras=True, stage_eval additionally returns an aux tuple:
+    ``(bl, z_r, z_w)`` on the z-space scheme or ``(bl, sq, binv)`` on
+    sfast (s-space query + d(s)/d(z)), for in-kernel turbulence.
     """
     P = p_block
     PS = P // 128
@@ -381,6 +522,10 @@ def make_stage_eval(grid: Grid, sigma: float, nv: int, HL: int,
     blend_dot = None if pair2 else blend_dot_fn(precision)
     recip = _recip_fn(fast_math)
     nt = nv if ntot is None else ntot
+    if ladder is not None:
+        CR = const_ladder(ladder[0], sigma)
+        CW = const_ladder(ladder[1], sigma)
+        LR0 = CR["L"][0]
 
     def stage_eval(par_ref, oy_f, ox_f, win, xv, yv, zv, oob,
                    extras: bool = False):
@@ -425,49 +570,67 @@ def make_stage_eval(grid: Grid, sigma: float, nv: int, HL: int,
         h = bl[nv - 1]
         hc = par_ref[_IDX_HC]
 
-        # --- knots (s-coordinate depths, Vtransform 1|2) -----------------
-        # one reciprocal for the whole ladder (the per-knot divide was
-        # ~us+ws divides per stage — the single largest VPU cost here)
-        hinv = recip(h) if vt == 1 else recip(hc + h)
-
-        def knots(pair0, K):
-            out = []
-            for k in range(K):
-                s = par_ref[_IDX_SC0 + 2 * (pair0 + k)]
-                cs = par_ref[_IDX_SC0 + 2 * (pair0 + k) + 1]
-                if vt == 1:
-                    zz0 = hc * s + (h - hc) * cs
-                    out.append(zz0 + zeta * (1.0 + zz0 * hinv))
-                else:
-                    s_ = (hc * s + h * cs) * hinv
-                    out.append(zeta + (zeta + h) * s_)
-            return out
-        z_r = knots(0, us)
-        z_w = knots(us, ws)
-
         prof_u = [bl[k] for k in range(us)]
         prof_v = [bl[us + k] for k in range(us)]
         prof_w = [bl[2 * us + k] for k in range(ws)]
 
-        z2u, z2v = _fit_thomas_multi(z_r, [prof_u, prof_v], c_off, c_diag,
-                                     recip=recip)
-        z2w = _fit_thomas(z_w, prof_w, c_off, c_diag, recip=recip)
+        if ladder is not None:
+            # --- sfast: constant-ladder fit/eval in s-space --------------
+            binv = recip(zeta + h)
+            sq = (zv - zeta) * binv
+            z2u, z2v = _fit_thomas_const_multi([prof_u, prof_v], CR)
+            z2w = _fit_thomas_const_multi([prof_w], CW)[0]
+            u, v = _eval_spline_const_multi(sq, CR, [prof_u, prof_v],
+                                            [z2u, z2v], gs)
+            w = _eval_spline_const_multi(sq, CW, [prof_w], [z2w], gs)[0]
+            # first rho knot above bottom: z_r[0] + h = (zeta+h)(1+L_r0)
+            zr0_ab = (zeta + h) * (1.0 + LR0)
+        else:
+            # --- knots (s-coordinate depths, Vtransform 1|2) -------------
+            # one reciprocal for the whole ladder (the per-knot divide
+            # was ~us+ws divides per stage — the single largest VPU cost
+            # here)
+            hinv = recip(h) if vt == 1 else recip(hc + h)
 
-        u, v = _eval_spline_multi(zv, z_r, [prof_u, prof_v], [z2u, z2v],
-                                  gs, recip=recip)
-        w = _eval_spline(zv, z_w, prof_w, z2w, gs, recip=recip)
+            def knots(pair0, K):
+                out = []
+                for k in range(K):
+                    s = par_ref[_IDX_SC0 + 2 * (pair0 + k)]
+                    cs = par_ref[_IDX_SC0 + 2 * (pair0 + k) + 1]
+                    if vt == 1:
+                        zz0 = hc * s + (h - hc) * cs
+                        out.append(zz0 + zeta * (1.0 + zz0 * hinv))
+                    else:
+                        s_ = (hc * s + h * cs) * hinv
+                        out.append(zeta + (zeta + h) * s_)
+                return out
+            z_r = knots(0, us)
+            z_w = knots(us, ws)
+
+            z2u, z2v = _fit_thomas_multi(z_r, [prof_u, prof_v], c_off,
+                                         c_diag, recip=recip)
+            z2w = _fit_thomas(z_w, prof_w, c_off, c_diag, recip=recip)
+
+            u, v = _eval_spline_multi(zv, z_r, [prof_u, prof_v],
+                                      [z2u, z2v], gs, recip=recip)
+            w = _eval_spline(zv, z_w, prof_w, z2w, gs, recip=recip)
+            zr0_ab = z_r[0] + h
 
         # --- near-bottom log layer ---------------------------------------
         z0m = par_ref[_IDX_Z0]
         zab = zv + h
-        ztb = jnp.maximum(z_r[0] + h, 2.0 * z0m)
+        ztb = jnp.maximum(zr0_ab, 2.0 * z0m)
         decay = jnp.log(jnp.maximum(zab, z0m) / z0m) * recip(
             jnp.log(ztb / z0m))
         factor = jnp.where(zab < ztb, jnp.clip(decay, 0.0, 1.0), 1.0)
         if extras:
-            # blended lanes + knots for in-kernel turbulence/behavior
-            # (Aks/salt lanes ride beyond nv when the tables pack them)
-            return u * factor, v * factor, w, oob, (bl, z_r, z_w)
+            # blended lanes + vertical-scheme aux for in-kernel
+            # turbulence/behavior (Aks/salt lanes ride beyond nv when
+            # the tables pack them): knots on the z-space scheme,
+            # (s-query, 1/b) on sfast
+            aux = ((bl, sq, binv) if ladder is not None
+                   else (bl, z_r, z_w))
+            return u * factor, v * factor, w, oob, aux
         return u * factor, v * factor, w, oob
 
     return stage_eval
@@ -476,13 +639,14 @@ def make_stage_eval(grid: Grid, sigma: float, nv: int, HL: int,
 def _make_kernel(grid: Grid, sigma: float, idt: float, nv: int, HL: int,
                  p_block: int = P,
                  precision=jax.lax.Precision.HIGHEST,
-                 window=(WY, WX), fast_math: bool = False):
+                 window=(WY, WX), fast_math: bool = False, ladder=None):
     """Build the single-internal-step RK4 kernel body."""
     P_ = p_block
     PS = P_ // 128
     wy, wx = window
     stage_eval = make_stage_eval(grid, sigma, nv, HL, P_, precision,
-                                 window=window, fast_math=fast_math)
+                                 window=window, fast_math=fast_math,
+                                 ladder=ladder)
     HLc = min(HL, ((nv + 63) // 64) * 64)
 
     def kernel(org_ref, par_ref, x_ref, y_ref, z_ref,
@@ -583,6 +747,7 @@ def rk4_displacement_fused(grid: Grid, vtabs, x, y, z, sigma: float,
                            p_block: int = P,
                            precision=jax.lax.Precision.HIGHEST,
                            window=(WY, WX), fast_math: bool = False,
+                           sfast: bool = True,
                            interpret: bool = False):
     """RK4 displacement via the fused kernel + exact XLA overflow patch.
 
@@ -602,8 +767,11 @@ def rk4_displacement_fused(grid: Grid, vtabs, x, y, z, sigma: float,
     org = block_origins(grid, x, y, P_, window=window)
     params = _params_array(grid, z0m)
 
+    from ..grid import affine_ladders
+    ladder = affine_ladders(grid) if sfast else None
     kern = _make_kernel(grid, float(sigma), float(idt), nv, HL, P_,
-                        precision, window=window, fast_math=fast_math)
+                        precision, window=window, fast_math=fast_math,
+                        ladder=ladder)
     out_shape = [jax.ShapeDtypeStruct((B, PS, 128), jnp.float32)] * 3 + [
         jax.ShapeDtypeStruct((B, PS, 128), jnp.int32)]
 

@@ -78,7 +78,7 @@ def _per_step_precision(cfg: Config):
 def _rk4_fused_padded(grid: Grid, vtabs, x, y, z, sigma: float, z0m: float,
                       idt: float, p_block: int, precision,
                       window=(gi.WY, gi.WX), fast_math: bool = False,
-                      interpret: bool = False):
+                      sfast: bool = True, interpret: bool = False):
     """Pad the batch to a p_block multiple (replicating the last
     particle), run the fused kernel, slice back."""
     n = x.shape[0]
@@ -90,7 +90,7 @@ def _rk4_fused_padded(grid: Grid, vtabs, x, y, z, sigma: float, z0m: float,
     dx, dy, dz, ovf = gi.rk4_displacement_fused(
         grid, vtabs, x, y, z, sigma, z0m, idt, p_block=p_block,
         precision=precision, window=window, fast_math=fast_math,
-        interpret=interpret)
+        sfast=sfast, interpret=interpret)
     return dx[:n], dy[:n], dz[:n], ovf[:n]
 
 
@@ -143,7 +143,7 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
             grid, tabs, p.x, p.y, p.z, cfg.tension_sigma, cfg.z0,
             float(cfg.idt), cfg.kernel_block, _per_step_precision(cfg),
             window=(cfg.kernel_wy, cfg.kernel_wx),
-            fast_math=cfg.kernel_fast_math)
+            fast_math=cfg.kernel_fast_math, sfast=cfg.kernel_sfast)
     elif fast and mode == "records":
         dxa, dya, dza = pk.rk4_displacement_records(
             grid, rft, p.x, p.y, p.z, t, cfg.tension_sigma, cfg.z0,
@@ -497,7 +497,7 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
         hturb_on=cfg.HTurbOn, vturb_on=cfg.VTurbOn,
         with_aks=prec.with_aks,
         window=(cfg.kernel_wy, cfg.kernel_wx),
-        fast_math=cfg.kernel_fast_math, dma_every=cfg.kernel_dma_every,
+        fast_math=cfg.kernel_fast_math, sfast=cfg.kernel_sfast,
         sink_on=cfg.Behavior == 6, mortality=cfg.mortality,
         interpret=interpret)
     xo, yo, zo = xo[:n], yo[:n], zo[:n]

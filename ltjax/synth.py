@@ -95,8 +95,10 @@ class SolidBodyCase(NamedTuple):
 
 def make_solid_body_case(nx=41, ny=41, us=10, lx=100e3, ly=100e3,
                          h0=50.0, omega=1e-4, shear_a=0.0, ramp_b=0.0,
-                         vtransform=1, dtype=None) -> SolidBodyCase:
+                         vtransform=1, theta_s=0.0,
+                         dtype=None) -> SolidBodyCase:
     import jax.numpy as jnp
+    from .grid import song_haidvogel_cs
     if dtype is None:
         dtype = jnp.float64 if jnp.zeros(()).dtype == jnp.float64 else jnp.float32
         # default to the enabled precision
@@ -106,10 +108,15 @@ def make_solid_body_case(nx=41, ny=41, us=10, lx=100e3, ly=100e3,
     h = np.full((ny, nx), h0)
     mask = np.ones((ny, nx), np.int32)
     s_rho, s_w = uniform_sigma_levels(us)
-    grid = make_grid(x_rho, y_rho, h, mask, s_rho, s_rho, s_w, s_w,
+    cs_r = song_haidvogel_cs(s_rho, theta_s)
+    cs_w = song_haidvogel_cs(s_w, theta_s)
+    grid = make_grid(x_rho, y_rho, h, mask, s_rho, cs_r, s_w, cs_w,
                      hc=h0, vtransform=vtransform, dtype=dtype)
     # Cs = s for uniform levels (theta_s = 0); hc=h0 makes Vtransform-1
     # z = h*s exactly (z0 = hc*s + (h-hc)*Cs = h*s when hc=h0, Cs=s).
+    # theta_s > 0 gives a genuinely stretched ladder (Cs != s, hc != 0)
+    # — grid.affine_ladders is None and the kernels take the
+    # per-particle z-space vertical scheme (coverage for that path).
     return SolidBodyCase(grid=grid, omega=omega, xc=lx / 2, yc=ly / 2,
                          shear_a=shear_a, ramp_b=ramp_b, h0=h0)
 

@@ -20,12 +20,17 @@ from ltjax.grid import locate
 from ltjax.kernels import gather_interp as gi
 
 
-@pytest.fixture(scope="module")
-def case():
+@pytest.fixture(scope="module", params=[0.0, 4.0],
+                ids=["affine-ladder", "stretched"])
+def case(request):
+    # theta_s=0 -> Cs==s -> grid.affine_ladders set -> the kernels take
+    # the sfast constant-ladder vertical scheme; theta_s=4 -> genuinely
+    # stretched Cs (with hc=h0) -> per-particle z-space scheme.  Both
+    # must match the collapsed XLA mirror.
     dtype = jnp.float32
     c = synth.make_solid_body_case(nx=41, ny=41, us=10, lx=100e3, ly=100e3,
                                    h0=50.0, omega=1e-4, shear_a=0.004,
-                                   dtype=dtype)
+                                   theta_s=request.param, dtype=dtype)
     fs = synth.fieldset_for(c, t_center=1800.0, dt=3600.0, dtype=dtype)
     rec = pk.build_packed_records(c.grid, fs)
     vtabs = pk.stage_value_tables(c.grid, rec, 100.0, 120.0)
@@ -45,13 +50,14 @@ def case():
     return c.grid, vtabs, x[perm], y[perm], z[perm]
 
 
-def test_fused_interpret_matches_mirror(case):
+@pytest.mark.parametrize("sfast", [True, False])
+def test_fused_interpret_matches_mirror(case, sfast):
     grid, vtabs, x, y, z = case
     dx0, dy0, dz0 = pk.rk4_displacement_collapsed(grid, vtabs, x, y, z,
                                                   0.0, 5e-4, 120.0)
     dx1, dy1, dz1, ovf = gi.rk4_displacement_fused(
         grid, vtabs, x, y, z, 0.0, 5e-4, 120.0, p_block=256,
-        interpret=True)
+        sfast=sfast, interpret=True)
     assert not bool(ovf.any())
     # interpret-mode dots run in f64-ish numpy; mirror is f32 XLA —
     # agreement is to f32 round-off, not bitwise
@@ -261,7 +267,7 @@ def test_ext_step_pair2_matches_collapsed_scan():
         grid, rtab, brows, params, p.x, p.y, p.z, p.dob, p.status,
         0.0, n_int, float(cfg.idt), n_iter=2, p_block=256,
         s_max=boundary_s_max(bounds), precision="pair2",
-        open_exits=True, dma_every=4, interpret=True)
+        open_exits=True, interpret=True)
 
     pp = p
     for ii in range(n_int):
@@ -406,7 +412,7 @@ def test_ext_step_mega_sink_mortality():
         grid, rtab, brows, params, p.x, p.y, p.z, p.dob, p.status,
         0.0, n_int, float(cfg.idt), n_iter=2, p_block=256,
         s_max=boundary_s_max(bounds), open_exits=True,
-        sink_on=True, mortality=True, dma_every=4, interpret=True)
+        sink_on=True, mortality=True, interpret=True)
 
     rft = pk.build_records_flat(grid, prec)
     pp = p
@@ -473,3 +479,36 @@ def test_ext_step_mega_frozen_block_skipped():
     assert (np.asarray(hitl)[256:] == 0).all()
     # live block: particles actually moved
     assert np.abs(np.asarray(xo)[:256] - np.asarray(p.x)[:256]).max() > 1.0
+
+
+def test_const_ladder_spline_matches_z_space():
+    """The sfast scheme's claim (grid.affine_ladders): a tension spline
+    fit at knots z_k = a + b*L_k evaluated at z equals the spline fit
+    at the FIXED ladder L evaluated at s = (z-a)/b, for any per-sample
+    (a, b) — including the derivative up to the 1/b chain factor."""
+    rng = np.random.default_rng(0)
+    K = 21
+    L = np.sort(rng.uniform(-1, 0, K))
+    L[0], L[-1] = -1.0, 0.0
+    for sigma in (0.0, 3.0):
+        gs, c_off, c_diag = gi._gs_fns(sigma)
+        ds = gi._ds_fn(sigma)
+        C = gi.const_ladder(L, sigma)
+        n = 64
+        a = rng.uniform(-0.5, 0.5, n)
+        b = rng.uniform(20.0, 80.0, n)
+        zk = [jnp.asarray(a + b * L[k]) for k in range(K)]
+        y = rng.standard_normal((K, n))
+        yk = [jnp.asarray(y[k]) for k in range(K)]
+        zq = jnp.asarray(a + b * rng.uniform(-1, 0, n))
+        sq = (zq - a) / b
+        z2 = gi._fit_thomas(zk, yk, c_off, c_diag)
+        vz = gi._eval_spline(zq, zk, yk, z2, gs)
+        dz_ = gi._eval_spline_deriv(zq, zk, yk, z2, ds)
+        z2s = gi._fit_thomas_const_multi([yk], C)[0]
+        vs = gi._eval_spline_const_multi(sq, C, [yk], [z2s], gs)[0]
+        ds_ = gi._eval_spline_deriv_const(sq, C, yk, z2s, ds) / b
+        np.testing.assert_allclose(np.asarray(vs), np.asarray(vz),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(ds_), np.asarray(dz_),
+                                   rtol=1e-9, atol=1e-9)

@@ -184,7 +184,21 @@ def test_sharded_driver_matches_single_device(tmp_path):
                                   np.asarray(p1.status))
 
 
-def test_tiled_megakernel_matches_unsharded_megakernel():
+@pytest.mark.parametrize("precision,atol_xy,atol_z", [
+    # f32-exact blend: tiled vs unsharded differ in window origins
+    # (tile-local vs global), so their oob-patch populations differ;
+    # with an approximate blend scheme patched particles get f32-exact
+    # values while in-window ones get ~2^-16-relative ones, so the
+    # "highest" variant isolates tiling exactly...
+    ("highest", 0.1, 1e-3),
+    # ...while the pair2 variant (the production default) keeps parity
+    # coverage on the default tiled path with a tolerance sized for the
+    # blend rounding (~2^-16 relative on ~5 m/s velocities over 1800 s
+    # plus the patched-vs-in-window population difference)
+    ("pair2", 5.0, 0.05),
+])
+def test_tiled_megakernel_matches_unsharded_megakernel(precision, atol_xy,
+                                                       atol_z):
     """The megakernel running INSIDE shard_map (per-tile windows,
     boundary strips, tile-local params) must reproduce the unsharded
     megakernel step (VERDICT r2 missing #3: multi-chip must not forfeit
@@ -197,13 +211,7 @@ def test_tiled_megakernel_matches_unsharded_megakernel():
                  OpenOceanBoundary=True, TrackCollisions=True,
                  dtype_pos="float32", dtype_field="float32",
                  kernel_block=256, reflect_iters=2,
-                 # f32-exact blend: tiled vs unsharded differ in window
-                 # origins (tile-local vs global), so their oob-patch
-                 # populations differ; with an approximate blend scheme
-                 # (pair2/hilo3) patched particles get f32-exact values
-                 # while in-window ones get ~2^-16-relative ones, and the
-                 # comparison would measure blend rounding, not tiling
-                 kernel_precision="highest")
+                 kernel_precision=precision)
     case = synth.make_solid_body_case(nx=33, ny=41, us=6, lx=80e3,
                                       ly=100e3, h0=50.0, omega=1.2e-4,
                                       dtype=jnp.float32)
@@ -245,9 +253,9 @@ def test_tiled_megakernel_matches_unsharded_megakernel():
     ok = (np.asarray(ref.status) == st.ACTIVE)
     assert ok.sum() > 0.8 * n
     np.testing.assert_allclose(np.asarray(out.x)[ok],
-                               np.asarray(ref.x)[ok], rtol=0, atol=0.1)
+                               np.asarray(ref.x)[ok], rtol=0, atol=atol_xy)
     np.testing.assert_allclose(np.asarray(out.y)[ok],
-                               np.asarray(ref.y)[ok], rtol=0, atol=0.1)
+                               np.asarray(ref.y)[ok], rtol=0, atol=atol_xy)
     np.testing.assert_allclose(np.asarray(out.z)[ok],
-                               np.asarray(ref.z)[ok], rtol=0, atol=1e-3)
+                               np.asarray(ref.z)[ok], rtol=0, atol=atol_z)
     assert np.array_equal(np.asarray(out.status), np.asarray(ref.status))

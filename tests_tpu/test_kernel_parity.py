@@ -57,7 +57,7 @@ def test_ext_step_pair2_on_chip_matches_records_scan(setup):
             ps.status, cfg.tension_sigma, n_int, idt,
             n_iter=cfg.reflect_iters, p_block=cfg.kernel_block,
             s_max=boundary_s_max(ctx.bounds), precision="pair2",
-            open_exits=cfg.OpenOceanBoundary, dma_every=4))
+            open_exits=cfg.OpenOceanBoundary))
 
     # XLA mirror on a random in-window subset (full 1M x 30-step scan
     # is wasteful; 8192 particles pin the numerics)
