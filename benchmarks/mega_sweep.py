@@ -48,11 +48,18 @@ params = es.params_array_ext(grid, ctx.bounds, cfg.z0, 0.0, fs.times,
                              idt, n_int)
 ci, _ = locate(grid.x_rho, p.x, grid.uniform)
 cj, _ = locate(grid.y_rho, p.y, grid.uniform)
-ps, _ = sp.sort_by_cell(p, ci, cj)
-ps = jax.block_until_ready(ps)
+_sorted = {}
+
+
+def sorted_for(aspect):
+    if aspect not in _sorted:
+        ps, _ = sp.sort_by_cell(p, ci, cj, aspect_y=aspect)
+        _sorted[aspect] = jax.block_until_ready(ps)
+    return _sorted[aspect]
 
 
 def run_combo(wy, wx, pb, precision, fast_math, sfast=True, reps=5):
+    ps = sorted_for(max(1, wy // wx))
     pad = (-N) % pb
 
     def padded(a, fill=None):
@@ -89,11 +96,10 @@ def run_combo(wy, wx, pb, precision, fast_math, sfast=True, reps=5):
 
 COMBOS = [
     # (wy, wx, p_block, precision_name, fast_math, sfast)
-    (16, 16, 2048, "pair2", True, True),
-    (16, 16, 2048, "pair2", True, False),   # sfast A/B baseline
-    (16, 8, 2048, "pair2", True, True),
+    # aspect-matched Hilbert sort engages automatically for wy > wx
     (16, 8, 1024, "pair2", True, True),
-    (8, 16, 1024, "pair2", True, True),
+    (16, 8, 2048, "pair2", True, True),
+    (16, 16, 1024, "pair2", True, True),
 ]
 
 print(f"N={N} n_int={n_int} (one ext step, kernel only)")

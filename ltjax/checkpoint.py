@@ -53,12 +53,20 @@ def load(path: str) -> Tuple[st.Particles, int, int, dict]:
     return p, meta["ext_step"], meta["global_record"], meta.get("extra", {})
 
 
-def latest(ckpt_dir: str) -> Optional[str]:
+def latest(ckpt_dir: str, tag: str = "") -> Optional[str]:
+    """Newest checkpoint path, filtered to ``tag`` (per-host suffix for
+    sharded multi-host runs, e.g. "_h003"; "" matches untagged files)."""
     if not os.path.isdir(ckpt_dir):
         return None
-    cands = [f for f in os.listdir(ckpt_dir)
-             if f.startswith("ckpt_") and f.endswith(".npz")]
+    suffix = tag + ".npz"
+    cands = []
+    for f in os.listdir(ckpt_dir):
+        if not (f.startswith("ckpt_") and f.endswith(suffix)):
+            continue
+        stem = f[5:-len(suffix)]
+        if stem.isdigit():
+            cands.append((int(stem), f))
     if not cands:
         return None
-    cands.sort(key=lambda f: int(f[5:-4]))
-    return os.path.join(ckpt_dir, cands[-1])
+    cands.sort()
+    return os.path.join(ckpt_dir, cands[-1][1])

@@ -230,8 +230,17 @@ def logical_coords(grid: Grid, x, y, iters: int = 3):
     SURVEY.md SS7.1).  Out-of-mesh queries clamp to the rim cells
     (same contract as ``locate``).
     """
-    cm = grid.curv
-    nx, ny = grid.nx, grid.ny
+    return curv_logical(grid.curv, grid.nx, grid.ny, x, y, iters)[:2]
+
+
+def curv_logical(cm: CurvMap, nx: int, ny: int, x, y, iters: int = 3):
+    """Core inverse-map solve on a CurvMap (see logical_coords).
+
+    Returns (ti, tj, resid2) with resid2 the squared physical residual
+    of the final Newton iterate — large residual means the query lies
+    outside the mesh (it clamped to a rim cell); callers use it as an
+    inside-the-mesh test (ltjax.physics.boundary.in_water).
+    """
     dtype = x.dtype
     My, Mx = cm.seed_i.shape
     ri = jnp.clip(jnp.floor((x - cm.rx0) * cm.inv_rdx).astype(jnp.int32),
@@ -271,7 +280,50 @@ def logical_coords(grid: Grid, x, y, iters: int = 3):
         tj = j + jnp.clip(fy + dfy, -1.5, 2.5)
     ti = jnp.clip(ti, 0.0, nx - 1.0)
     tj = jnp.clip(tj, 0.0, ny - 1.0)
-    return ti, tj
+    # forward-map residual at the clamped solution (inside test)
+    i = jnp.clip(jnp.floor(ti), 0.0, nx - 2.0)
+    j = jnp.clip(jnp.floor(tj), 0.0, ny - 2.0)
+    fx = ti - i
+    fy = tj - j
+    base = (j * nx + i).astype(jnp.int32)
+    c00 = xyf[base]
+    c01 = xyf[base + 1]
+    c10 = xyf[base + nx]
+    c11 = xyf[base + nx + 1]
+    p = (c00 + fx[:, None] * (c01 - c00) + fy[:, None] * (c10 - c00)
+         + (fx * fy)[:, None] * (c11 - c01 - c10 + c00))
+    resid2 = (x - p[:, 0]) ** 2 + (y - p[:, 1]) ** 2
+    return ti, tj, resid2
+
+
+def locate_rho_ij(grid: Grid, x, y):
+    """(i, j, fx, fy) on the rho-point lattice — curvilinear-aware.
+
+    Rectilinear grids use the per-axis ``locate``; curvilinear grids go
+    through the inverse map (``logical_coords``).  Single entry point
+    for every rho-lattice cell location (interp, packed tables).
+    """
+    if grid.curv is not None:
+        ti, tj = logical_coords(grid, x, y)
+        i = jnp.clip(jnp.floor(ti), 0.0, grid.nx - 2.0)
+        j = jnp.clip(jnp.floor(tj), 0.0, grid.ny - 2.0)
+        fx = jnp.clip(ti - i, 0.0, 1.0)
+        fy = jnp.clip(tj - j, 0.0, 1.0)
+        return i.astype(jnp.int32), j.astype(jnp.int32), fx, fy
+    i, fx = locate(grid.x_rho, x, grid.uniform)
+    j, fy = locate(grid.y_rho, y, grid.uniform)
+    return i, j, fx, fy
+
+
+def stag_from_logical(t, n: int):
+    """Staggered-lattice index + fraction from a continuous rho logical
+    coordinate: the u (or v) points sit at rho + 0.5 along their axis,
+    so the staggered cell coordinate is t - 0.5 on an (n-1)-point
+    lattice."""
+    ts = t - 0.5
+    i = jnp.clip(jnp.floor(ts), 0.0, n - 3.0)
+    f = jnp.clip(ts - i, 0.0, 1.0)
+    return i.astype(jnp.int32), f
 
 
 def locate(coords: jax.Array, x: jax.Array, uniform: bool = False):

@@ -15,7 +15,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .grid import Grid, locate
+from .grid import (Grid, locate, locate_rho_ij, logical_coords,
+                   stag_from_logical)
 
 
 def bilinear_weights(fx, fy):
@@ -95,18 +96,47 @@ def polintd(f, times, t):
 
 
 def locate_rho(grid: Grid, x, y):
-    i, fx = locate(grid.x_rho, x, grid.uniform)
-    j, fy = locate(grid.y_rho, y, grid.uniform)
-    return i, j, fx, fy
+    return locate_rho_ij(grid, x, y)
 
 
 def locate_u(grid: Grid, x, y):
+    if grid.curv is not None:
+        ti, tj = logical_coords(grid, x, y)
+        i, fx = stag_from_logical(ti, grid.nx)
+        j = jnp.clip(jnp.floor(tj), 0.0, grid.ny - 2.0)
+        fy = jnp.clip(tj - j, 0.0, 1.0)
+        return i, j.astype(jnp.int32), fx, fy
     i, fx = locate(grid.x_u, x, grid.uniform)
     j, fy = locate(grid.y_rho, y, grid.uniform)
     return i, j, fx, fy
 
 
 def locate_v(grid: Grid, x, y):
+    if grid.curv is not None:
+        ti, tj = logical_coords(grid, x, y)
+        i = jnp.clip(jnp.floor(ti), 0.0, grid.nx - 2.0)
+        fx = jnp.clip(ti - i, 0.0, 1.0)
+        j, fy = stag_from_logical(tj, grid.ny)
+        return i.astype(jnp.int32), j, fx, fy
     i, fx = locate(grid.x_rho, x, grid.uniform)
     j, fy = locate(grid.y_v, y, grid.uniform)
     return i, j, fx, fy
+
+
+def locate_uvr(grid: Grid, x, y):
+    """All three staggered locations with ONE inverse-map solve on
+    curvilinear grids (find_currents calls this per RK4 stage)."""
+    if grid.curv is not None:
+        ti, tj = logical_coords(grid, x, y)
+        ir = jnp.clip(jnp.floor(ti), 0.0, grid.nx - 2.0)
+        jr = jnp.clip(jnp.floor(tj), 0.0, grid.ny - 2.0)
+        fxr = jnp.clip(ti - ir, 0.0, 1.0)
+        fyr = jnp.clip(tj - jr, 0.0, 1.0)
+        ir = ir.astype(jnp.int32)
+        jr = jr.astype(jnp.int32)
+        iu, fxu = stag_from_logical(ti, grid.nx)
+        jv, fyv = stag_from_logical(tj, grid.ny)
+        return ((iu, jr, fxu, fyr), (ir, jv, fxr, fyv),
+                (ir, jr, fxr, fyr))
+    return (locate_u(grid, x, y), locate_v(grid, x, y),
+            locate_rho(grid, x, y))

@@ -135,13 +135,66 @@ def read_grid(path: str, cfg: Optional[Config] = None,
     return out
 
 
-def rho_axes_from_grid(gd: RomsGridData, cfg: Config):
-    """Project the (possibly 2D) rho coordinates to 1D meter axes.
+def _coord_2d(gd: RomsGridData):
+    """(lon2, lat2) both as 2-D arrays (broadcasting 1-D inputs)."""
+    lon = gd.lon_rho
+    lat = gd.lat_rho
+    if lon.ndim == 1:
+        lon = lon[None, :]
+    if lat.ndim == 1:
+        lat = lat[:, None]
+    ny = max(lon.shape[0], lat.shape[0])
+    nx = max(lon.shape[1], lat.shape[1])
+    return (np.broadcast_to(lon, (ny, nx)),
+            np.broadcast_to(lat, (ny, nx)))
 
-    The engine's v1 grid is rectilinear (SURVEY.md SS7.1); ROMS files
-    store 2D coordinate arrays — collapse them to axes (asserting
-    rectilinearity within a tolerance).
+
+def is_rectilinear(gd: RomsGridData, rtol: float = 1e-6) -> bool:
+    """True when lon varies only along xi and lat only along eta."""
+    lon2, lat2 = _coord_2d(gd)
+    s_lon = np.abs(lon2 - lon2[0, :][None, :]).max()
+    s_lat = np.abs(lat2 - lat2[:, 0][:, None]).max()
+    return (s_lon <= rtol * max(1.0, np.abs(lon2).max())
+            and s_lat <= rtol * max(1.0, np.abs(lat2).max()))
+
+
+def grid_from_roms(gd: RomsGridData, cfg: Config, dtype):
+    """Build the engine Grid from raw ROMS grid data.
+
+    Rectilinear files (lon varies only along xi, lat only along eta —
+    all idealized cases and many regional setups) collapse to 1-D meter
+    axes with the arithmetic/searchsorted locate.  General curvilinear
+    Arakawa-C grids (the reference's bundled estuary case is one —
+    ``initGrid`` element formation, hydrodynamic_module.f90, SURVEY.md
+    SS2.1 #3 [conf: H]) project every rho point to meters and build the
+    inverse-map Grid (grid.make_curv_grid): seed raster + Newton
+    replaces the reference's element search (SURVEY.md SS7.1).
     """
+    from .. import convert
+    from ..grid import make_curv_grid, make_grid
+
+    if is_rectilinear(gd):
+        x_axis, y_axis = rho_axes_from_grid(gd, cfg)
+        return make_grid(x_axis, y_axis, gd.h, gd.mask_rho, gd.s_rho,
+                         gd.Cs_r, gd.s_w, gd.Cs_w, gd.hc, gd.vtransform,
+                         dtype=dtype)
+    lon2, lat2 = _coord_2d(gd)
+    if gd.geographic:
+        y2 = np.asarray(convert.lat2y(lat2, cfg.latmin, cfg.Earth_Radius,
+                                      cfg.SphericalProjection))
+        x2 = np.asarray(convert.lon2x(lon2, lat2, cfg.lonmin, cfg.latmin,
+                                      cfg.Earth_Radius,
+                                      cfg.SphericalProjection))
+    else:
+        x2, y2 = lon2, lat2
+    return make_curv_grid(x2, y2, gd.h, gd.mask_rho, gd.s_rho, gd.Cs_r,
+                          gd.s_w, gd.Cs_w, gd.hc, gd.vtransform,
+                          dtype=dtype)
+
+
+def rho_axes_from_grid(gd: RomsGridData, cfg: Config):
+    """Project the (rectilinear, possibly stored 2D) rho coordinates to
+    1D meter axes (curvilinear files go through grid_from_roms)."""
     from .. import convert
 
     lon = gd.lon_rho
@@ -152,12 +205,6 @@ def rho_axes_from_grid(gd: RomsGridData, cfg: Config):
         lat = lat[:, None]
     lon_axis = lon[0, :] if lon.shape[0] > 1 else lon.ravel()
     lat_axis = lat[:, 0] if lat.shape[-1] > 1 else lat.ravel()
-    if lon.ndim == 2 and lon.shape[0] > 1:
-        spread = np.abs(lon - lon_axis[None, :]).max()
-        if spread > 1e-6 * max(1.0, np.abs(lon_axis).max()):
-            raise NotImplementedError(
-                "curvilinear ROMS grids not supported yet (lon varies "
-                f"along eta by {spread}); v1 requires rectilinear grids")
     if gd.geographic:
         # project to meters about (lonmin, latmin) at the domain's mid
         # latitude (the reference projects per-point with cos(lat);

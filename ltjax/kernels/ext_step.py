@@ -55,7 +55,7 @@ from .gather_interp import (WC, WX, WY, _IDX_HC, _IDX_INVDX, _IDX_INVDY,
                             const_ladder, make_bilinear_onehot,
                             make_cell_onehot, make_stage_eval)
 
-# extra head-scalar slots (gather_interp reserves 0..5; 6..15 ours)
+# extra head-scalar slots (gather_interp reserves 0..5; 6..31 ours)
 _IDX_BX0 = 6       # boundary cell-edge x origin
 _IDX_INVBDX = 7
 _IDX_BY0 = 8
@@ -66,6 +66,7 @@ _IDX_HSCALE = 12   # sqrt(2 * ConstantHTurb * idt)
 _IDX_VCONST = 13   # sqrt(2 * ConstantVTurb * idt / r_var), r_var = 1/3
 _IDX_SINKDZ = 14   # -sink * idt (behavior type 6 constant sinking)
 _IDX_DEADAGE = 15  # mortality age threshold [s] (inf when off)
+_IDX_MAXSTEP2 = 16  # (1.5 * min cell edge)^2 displacement guard
 _REFLECT_EPS = 1e-6
 
 
@@ -103,6 +104,7 @@ def params_static_ext(grid: Grid, bounds: Boundaries, z0m: float,
     head[_IDX_SINKDZ] = -sink * idt
     head[_IDX_DEADAGE] = deadage
     head[_IDX_IDT] = idt
+    head[_IDX_MAXSTEP2] = float(np.asarray(bounds.max_step2))
     inter = np.empty(2 * (us + ws), np.float64)
     inter[0:2 * us:2] = np.asarray(grid.s_rho, np.float64)
     inter[1:2 * us:2] = np.asarray(grid.Cs_r, np.float64)
@@ -623,6 +625,13 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                 exited = exitedi != 0
                 stuck = stucki != 0
                 oob = oobi2 != 0
+                # max-displacement guard (mirrors physics.boundary.reflect):
+                # a candidate displacement beyond the 3x3 bucket's
+                # guaranteed-detection radius could tunnel past segments
+                # not in its bucket/window -> flag ERROR, never silent
+                d2c = (x1 - xv) * (x1 - xv) + (y1 - yv) * (y1 - yv)
+                stuck = stuck | (act & ~exited
+                                 & (d2c > par_ref[_IDX_MAXSTEP2]))
 
                 # vertical reflection about zeta/h at the new column (t+idt)
                 tx = (xr - par_ref[_IDX_X0]) * par_ref[_IDX_INVDX]

@@ -83,6 +83,11 @@ class TrajectoryWriter:
         f.create_dataset("model_time", shape=(0,), maxshape=(None,),
                          dtype=np.float64, chunks=(1024,))
         f.create_dataset("pid", data=pid)
+        if self.tag:
+            # per-host shard files: slot occupancy changes as particles
+            # migrate between hosts, so pid is a per-snapshot dataset
+            # (EMPTY slots carry color < 0; merge_shards filters them)
+            mk("pid_t", np.int32)
         mk("lon", np.float64)
         mk("lat", np.float64)
         mk("depth", np.float64)
@@ -130,6 +135,8 @@ class TrajectoryWriter:
                 self._nc_open(len(lon), pid)
             fields = {"lon": lon, "lat": lat, "depth": depth,
                       "color": status, "age": age, "settle_poly": poly}
+            if self.tag:
+                fields["pid_t"] = pid
             fields.update(extra)
             self._nc_append(float(t), fields)
 
@@ -155,3 +162,49 @@ class TrajectoryWriter:
         if self._nc is not None:
             self._nc.close()
             self._nc = None
+
+
+def merge_shards(shard_paths, out_path):
+    """Merge per-host trajectory shard files into one global NC file.
+
+    Shard files (TrajectoryWriter(shard_tag=...)) hold fixed-length
+    per-host slot rows with per-snapshot ``pid_t`` and EMPTY slots as
+    ``color < 0``.  The merged file has the single-process layout:
+    fixed ``pid`` (sorted union) + (time, particle) datasets.
+    """
+    import h5py
+
+    fs = [h5py.File(p, "r") for p in shard_paths]
+    try:
+        times = np.asarray(fs[0]["model_time"])
+        for f in fs[1:]:
+            np.testing.assert_allclose(np.asarray(f["model_time"]), times)
+        names = [n for n in fs[0].keys()
+                 if n not in ("model_time", "pid", "pid_t")]
+        # global pid set from the first snapshot
+        pid0 = np.concatenate([np.asarray(f["pid_t"][0]) for f in fs])
+        keep0 = np.concatenate([np.asarray(f["color"][0]) for f in fs]) >= 0
+        pids = np.sort(pid0[keep0])
+        npar = pids.shape[0]
+        with h5py.File(out_path, "w") as out:
+            out.create_dataset("model_time", data=times)
+            out.create_dataset("pid", data=pids.astype(np.int32))
+            dsets = {n: out.create_dataset(
+                n, shape=(len(times), npar), dtype=fs[0][n].dtype)
+                for n in names}
+            lookup = np.zeros(pids.max() + 2, np.int64)
+            lookup[pids] = np.arange(npar)
+            for k in range(len(times)):
+                pid_k = np.concatenate([np.asarray(f["pid_t"][k])
+                                        for f in fs])
+                keep = np.concatenate([np.asarray(f["color"][k])
+                                       for f in fs]) >= 0
+                rows = lookup[pid_k[keep]]
+                for n in names:
+                    col = np.concatenate([np.asarray(f[n][k]) for f in fs])
+                    buf = np.zeros(npar, fs[0][n].dtype)
+                    buf[rows] = col[keep]
+                    dsets[n][k, :] = buf
+    finally:
+        for f in fs:
+            f.close()

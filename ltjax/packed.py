@@ -57,7 +57,7 @@ import jax.numpy as jnp
 
 from . import tension
 from .fields import FieldSet
-from .grid import Grid, locate
+from .grid import Grid, locate, locate_rho_ij
 from .interp import polintd
 from .scoord import s_depths
 
@@ -231,8 +231,7 @@ def gather_corners(grid: Grid, table: StageTable, x, y):
     (eta-corner, xi-corner); wx/wy (N,) fractional weights.
     """
     cw = table.rows.shape[-1] // 2          # full cell width (2 * HL)
-    i, fx = locate(grid.x_rho, x, grid.uniform)
-    j, fy = locate(grid.y_rho, y, grid.uniform)
+    i, j, fx, fy = locate_rho_ij(grid, x, y)
     nx = grid.nx
     c00 = j.astype(jnp.int32) * nx + i.astype(jnp.int32)
     r0 = table.rows[c00]                    # (N, 2*cw) cells (j,i),(j,i+1)
@@ -301,8 +300,7 @@ def find_currents_packed(grid: Grid, table: StageTable, x, y, z,
 def zeta_h_packed(grid: Grid, table: StageTable, x, y):
     """Free surface + bathymetry at particles (8-lane mini rows)."""
     dtype = x.dtype
-    i, fx = locate(grid.x_rho, x, grid.uniform)
-    j, fy = locate(grid.y_rho, y, grid.uniform)
+    i, j, fx, fy = locate_rho_ij(grid, x, y)
     nx = grid.nx
     c00 = j.astype(jnp.int32) * nx + i.astype(jnp.int32)
     r0 = table.zh_rows[c00]                  # (N, 8)
@@ -405,8 +403,7 @@ def find_currents_collapsed(grid: Grid, vt: ValueTable, x, y, z,
     dtype = x.dtype
     us, ws = grid.us, grid.ws
     nv = n_value_lanes(us, ws)
-    i, fx = locate(grid.x_rho, x, grid.uniform)
-    j, fy = locate(grid.y_rho, y, grid.uniform)
+    i, j, fx, fy = locate_rho_ij(grid, x, y)
     flat = vt.full.reshape(-1, vt.full.shape[-1])
     nx = grid.nx
     c00 = j.astype(jnp.int32) * nx + i.astype(jnp.int32)
@@ -491,8 +488,7 @@ def find_currents_records(grid: Grid, rft: RecordsFlat, x, y, z, t,
     dtype = x.dtype
     us, ws = grid.us, grid.ws
     nv = n_value_lanes(us, ws)
-    i, fx = locate(grid.x_rho, x, grid.uniform)
-    j, fy = locate(grid.y_rho, y, grid.uniform)
+    i, j, fx, fy = locate_rho_ij(grid, x, y)
     nx = grid.nx
     c00 = j.astype(jnp.int32) * nx + i.astype(jnp.int32)
     rows = rft.rows
@@ -566,8 +562,7 @@ def zeta_h_records(grid: Grid, rft: RecordsFlat, x, y, t):
     dtype = x.dtype
     us, ws = grid.us, grid.ws
     nv = n_value_lanes(us, ws)
-    i, fx = locate(grid.x_rho, x, grid.uniform)
-    j, fy = locate(grid.y_rho, y, grid.uniform)
+    i, j, fx, fy = locate_rho_ij(grid, x, y)
     nx = grid.nx
     c00 = j.astype(jnp.int32) * nx + i.astype(jnp.int32)
     rows = rft.rows

@@ -27,7 +27,7 @@ from .. import tension
 from ..fields import FieldSet
 from ..grid import Grid
 from ..interp import (interp2d, interp_columns, locate_rho, locate_u,
-                      locate_v, polintd)
+                      locate_uvr, locate_v, polintd)
 from ..scoord import s_depths
 
 
@@ -60,9 +60,8 @@ def find_currents(grid: Grid, fields: FieldSet, x, y, z, t,
     f64 end-to-end on CPU while TPU runs stay f32.
     """
     dtype = x.dtype
-    iu, ju, fxu, fyu = locate_u(grid, x, y)
-    iv, jv, fxv, fyv = locate_v(grid, x, y)
-    ir, jr, fxr, fyr = locate_rho(grid, x, y)
+    ((iu, ju, fxu, fyu), (iv, jv, fxv, fyv),
+     (ir, jr, fxr, fyr)) = locate_uvr(grid, x, y)
 
     u_prof = interp_columns(fields.u, iu, ju, fxu.astype(fields.u.dtype),
                             fyu.astype(fields.u.dtype)).astype(dtype)  # (3,N,us)

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..grid import locate
+from ..grid import CurvMap, curv_logical, locate
 
 LAND = 0
 OPEN = 1
@@ -47,7 +47,8 @@ class Boundaries(NamedTuple):
     seg_b: jax.Array        # (S, 2) segment end xy
     seg_kind: jax.Array     # (S,) LAND or OPEN
     bucket: jax.Array       # (Ny, Nx, S_max) segment ids per rho cell, -1 pad
-    x_edges: jax.Array      # (Nx+1,) cell-edge x coordinates
+    x_edges: jax.Array      # (Nx+1,) cell-edge x coordinates (curvilinear:
+                            #   uniform bbox raster, settlement pruning only)
     y_edges: jax.Array      # (Ny+1,) cell-edge y coordinates
     water: jax.Array        # (Ny, Nx) mask_rho as int32
     cell_rows: jax.Array    # (Ny*Nx, 8 + 8*S_max) flat per-cell rows:
@@ -58,6 +59,14 @@ class Boundaries(NamedTuple):
                             #   are ~3x slower per fetch on TPU and
                             #   there were 5 of them).
     uniform: bool = False   # static: edge axes exactly uniform (fast locate)
+    curv: "CurvMap | None" = None  # curvilinear inverse map (cell_of)
+    curv_tol2: "jax.Array | None" = None  # squared inside-mesh residual tol
+    max_step2: "jax.Array | None" = None  # (1.5 * min cell edge)^2: the
+                            #   3x3 bucket's guaranteed-detection radius;
+                            #   a longer single-step displacement COULD
+                            #   tunnel past segments outside its bucket,
+                            #   so reflect() flags it stuck (-> ERROR)
+                            #   instead of silently trusting luck
 
     @property
     def n_segments(self) -> int:
@@ -71,18 +80,30 @@ def _cell_edges(axis: np.ndarray) -> np.ndarray:
     return np.concatenate([[first], mid, [last]])
 
 
-def build_boundaries(mask_rho, x_rho, y_rho, closed_edges=False,
-                     dtype=np.float64) -> Boundaries:
-    """createBounds analog (host-side numpy, once at init).
+def _psi_mesh(x2: np.ndarray, y2: np.ndarray):
+    """Cell-corner (psi) mesh (Ny+1, Nx+1) of a rho-point mesh: interior
+    corners average the 4 surrounding rho points; rim corners linearly
+    extrapolate (the reference forms the same quad elements from
+    adjacent nodes — initGrid, SURVEY.md SS2.1 #3 [conf: H])."""
+    def pad(a):
+        a = np.pad(a, 1, mode="edge").astype(np.float64)
+        a[0, :] = 2 * a[1, :] - a[2, :]
+        a[-1, :] = 2 * a[-2, :] - a[-3, :]
+        a[:, 0] = 2 * a[:, 1] - a[:, 2]
+        a[:, -1] = 2 * a[:, -2] - a[:, -3]
+        return a
+    xp = pad(x2)
+    yp = pad(y2)
+    px = 0.25 * (xp[:-1, :-1] + xp[:-1, 1:] + xp[1:, :-1] + xp[1:, 1:])
+    py = 0.25 * (yp[:-1, :-1] + yp[:-1, 1:] + yp[1:, :-1] + yp[1:, 1:])
+    return px, py
 
-    closed_edges: treat the grid rim as land (True) instead of open
-    ocean (False).
-    """
-    mask = np.asarray(mask_rho).astype(np.int32)
+
+def _assemble(mask: np.ndarray, psi_x: np.ndarray, psi_y: np.ndarray,
+              closed_edges: bool, dtype):
+    """Segment extraction + 3x3 buckets + packed cell rows from the
+    corner mesh (shared by the rectilinear and curvilinear builders)."""
     ny, nx = mask.shape
-    xe = _cell_edges(np.asarray(x_rho, dtype))
-    ye = _cell_edges(np.asarray(y_rho, dtype))
-
     seg_a, seg_b, seg_kind = [], [], []
     seg_cells = []  # owning (j, i) of each segment
 
@@ -93,16 +114,19 @@ def build_boundaries(mask_rho, x_rho, y_rho, closed_edges=False,
             return "edge"
         return "water" if mask[j, i] else "land"
 
+    def corner(j, i):
+        return (psi_x[j, i], psi_y[j, i])
+
     for j in range(ny):
         for i in range(nx):
             if not mask[j, i]:
                 continue
             # (dj, di, segment endpoints on that side of cell (j,i))
             sides = [
-                (0, -1, (xe[i], ye[j]), (xe[i], ye[j + 1])),       # west
-                (0, +1, (xe[i + 1], ye[j]), (xe[i + 1], ye[j + 1])),  # east
-                (-1, 0, (xe[i], ye[j]), (xe[i + 1], ye[j])),       # south
-                (+1, 0, (xe[i], ye[j + 1]), (xe[i + 1], ye[j + 1])),  # north
+                (0, -1, corner(j, i), corner(j + 1, i)),           # west
+                (0, +1, corner(j, i + 1), corner(j + 1, i + 1)),   # east
+                (-1, 0, corner(j, i), corner(j, i + 1)),           # south
+                (+1, 0, corner(j + 1, i), corner(j + 1, i + 1)),   # north
             ]
             for dj, di, a, b in sides:
                 st = neighbor_state(j + dj, i + di)
@@ -151,8 +175,27 @@ def build_boundaries(mask_rho, x_rho, y_rho, closed_edges=False,
                 rows[j * nx + i, o:o + 6] = [
                     seg_a[sid, 0], seg_a[sid, 1], seg_b[sid, 0],
                     seg_b[sid, 1], float(seg_kind[sid]), 1.0]
+    return seg_a, seg_b, seg_kind, bucket, rows
+
+
+def build_boundaries(mask_rho, x_rho, y_rho, closed_edges=False,
+                     dtype=np.float64) -> Boundaries:
+    """createBounds analog (host-side numpy, once at init).
+
+    closed_edges: treat the grid rim as land (True) instead of open
+    ocean (False).
+    """
+    mask = np.asarray(mask_rho).astype(np.int32)
+    ny, nx = mask.shape
+    xe = _cell_edges(np.asarray(x_rho, dtype))
+    ye = _cell_edges(np.asarray(y_rho, dtype))
+    psi_x = np.broadcast_to(xe[None, :], (ny + 1, nx + 1))
+    psi_y = np.broadcast_to(ye[:, None], (ny + 1, nx + 1))
+    seg_a, seg_b, seg_kind, bucket, rows = _assemble(
+        mask, psi_x, psi_y, closed_edges, dtype)
 
     from ..grid import _is_uniform
+    ms = 1.5 * min(np.diff(xe).min(), np.diff(ye).min())
     # Loose tolerance: coordinates may be f32-rounded images of an
     # exactly-uniform axis; a 1e-4 fractional cell-locate error is
     # harmless here (buckets cover the 3x3 neighborhood, and in_water
@@ -164,11 +207,55 @@ def build_boundaries(mask_rho, x_rho, y_rho, closed_edges=False,
         x_edges=jnp.asarray(xe), y_edges=jnp.asarray(ye),
         water=jnp.asarray(mask), cell_rows=jnp.asarray(rows),
         uniform=_is_uniform(xe, 1e-4) and _is_uniform(ye, 1e-4),
+        max_step2=jnp.asarray(ms * ms),
+    )
+
+
+def build_boundaries_curv(mask_rho, x2d, y2d, curv: CurvMap,
+                          closed_edges=False,
+                          dtype=np.float64) -> Boundaries:
+    """createBounds for curvilinear grids: boundary segments are the
+    quad-cell edges of the psi (corner) mesh; cell location goes
+    through the grid's inverse map (``cell_of`` dispatches on
+    ``curv``).  ``x_edges``/``y_edges`` become a uniform bounding-box
+    raster (used only as the settlement pruning lattice)."""
+    mask = np.asarray(mask_rho).astype(np.int32)
+    ny, nx = mask.shape
+    x2 = np.asarray(x2d, np.float64)
+    y2 = np.asarray(y2d, np.float64)
+    psi_x, psi_y = _psi_mesh(x2, y2)
+    seg_a, seg_b, seg_kind, bucket, rows = _assemble(
+        mask, psi_x, psi_y, closed_edges, dtype)
+
+    xe = np.linspace(psi_x.min(), psi_x.max(), nx + 1)
+    ye = np.linspace(psi_y.min(), psi_y.max(), ny + 1)
+    # inside-mesh residual tolerance: a quarter of the shortest cell
+    # edge (points farther than that from their clamped rim cell are
+    # outside the domain)
+    ex = np.hypot(np.diff(x2, axis=1), np.diff(y2, axis=1)).min()
+    ey = np.hypot(np.diff(x2, axis=0), np.diff(y2, axis=0)).min()
+    tol = 0.25 * min(ex, ey)
+    ms = 1.5 * min(ex, ey)
+    return Boundaries(
+        seg_a=jnp.asarray(seg_a), seg_b=jnp.asarray(seg_b),
+        seg_kind=jnp.asarray(seg_kind), bucket=jnp.asarray(bucket),
+        x_edges=jnp.asarray(xe), y_edges=jnp.asarray(ye),
+        water=jnp.asarray(mask), cell_rows=jnp.asarray(rows),
+        uniform=True, curv=curv,
+        curv_tol2=jnp.asarray(tol * tol),
+        max_step2=jnp.asarray(ms * ms),
     )
 
 
 def cell_of(bounds: Boundaries, x, y):
     """Rho-cell index of a point (clamped to the grid)."""
+    if bounds.curv is not None:
+        ny, nx = bounds.water.shape
+        ti, tj, _ = curv_logical(bounds.curv, nx, ny, x, y)
+        # boundary cell (j,i) spans rho logical [i-0.5, i+0.5]
+        i = jnp.clip(jnp.floor(ti + 0.5), 0.0, nx - 1.0).astype(jnp.int32)
+        j = jnp.clip(jnp.floor(tj + 0.5), 0.0, ny - 1.0).astype(jnp.int32)
+        return i, j
     if bounds.uniform:
         xe, ye = bounds.x_edges, bounds.y_edges
         ti = (x - xe[0]) / (xe[1] - xe[0])
@@ -187,10 +274,18 @@ def cell_of(bounds: Boundaries, x, y):
 
 def in_water(bounds: Boundaries, x, y):
     """mbounds analog: is the point in a water cell of the domain?"""
+    nx = bounds.water.shape[1]
+    if bounds.curv is not None:
+        ny = bounds.water.shape[0]
+        ti, tj, r2 = curv_logical(bounds.curv, nx, ny, x, y)
+        i = jnp.clip(jnp.floor(ti + 0.5), 0.0, nx - 1.0).astype(jnp.int32)
+        j = jnp.clip(jnp.floor(tj + 0.5), 0.0, ny - 1.0).astype(jnp.int32)
+        inside = r2 <= bounds.curv_tol2
+        wet = bounds.cell_rows[j * nx + i, 0] > 0.5
+        return inside & wet
     i, j = cell_of(bounds, x, y)
     inside = ((x >= bounds.x_edges[0]) & (x <= bounds.x_edges[-1])
               & (y >= bounds.y_edges[0]) & (y <= bounds.y_edges[-1]))
-    nx = bounds.water.shape[1]
     wet = bounds.cell_rows[j * nx + i, 0] > 0.5
     return inside & wet
 
@@ -305,6 +400,17 @@ def reflect(bounds: Boundaries, x0, y0, x1, y1, open_exits: bool,
     ym = 0.5 * (y0 + py1)
     tunneled = no_interact & ~in_water(bounds, xm, ym)
     stuck = stuck | tunneled
+    # --- max-displacement guard ------------------------------------------
+    # The midpoint test above still misses a >=2-cell jump across a thin
+    # spit with BOTH midpoint and endpoint in water.  The 3x3 bucket
+    # guarantees crossing detection only within ~1.5 cells of the
+    # pre-move cell, so any longer single-step displacement is flagged
+    # stuck (-> ERROR upstream): loud, never a silent tunnel.  Runs
+    # whose flow legitimately moves particles further per internal step
+    # violate the bucket assumption and must reduce idt.
+    if bounds.max_step2 is not None:
+        d2 = (x1 - x0) ** 2 + (y1 - y0) ** 2
+        stuck = stuck | (~exited & (d2 > bounds.max_step2))
     return px1, py1, hit_land, exited, stuck
 
 

@@ -31,7 +31,7 @@ from .config import Config, config_from_namelist
 from .fields import FieldSet, make_fieldset, rotate, stack_records
 from .grid import Grid, make_grid
 from .io.prefetch import Prefetcher
-from .io.roms import RomsSeries, read_grid, rho_axes_from_grid
+from .io.roms import RomsSeries, grid_from_roms, read_grid
 from .out.writer import TrajectoryWriter
 from .physics import boundary as bd
 from .physics import settlement as stl
@@ -52,9 +52,15 @@ def _project_polys(polys, cfg: Config):
 def build_context(cfg: Config, grid: Grid) -> StepContext:
     # grid-rim segments are tagged OPEN; whether they exit or reflect is
     # decided at reflect() time by cfg.OpenOceanBoundary
-    bounds = bd.build_boundaries(
-        np.asarray(grid.mask_rho), np.asarray(grid.x_rho),
-        np.asarray(grid.y_rho), closed_edges=False)
+    if grid.curv is not None:
+        xy = np.asarray(grid.curv.xy_flat).reshape(grid.ny, grid.nx, 2)
+        bounds = bd.build_boundaries_curv(
+            np.asarray(grid.mask_rho), xy[..., 0], xy[..., 1],
+            grid.curv, closed_edges=False)
+    else:
+        bounds = bd.build_boundaries(
+            np.asarray(grid.mask_rho), np.asarray(grid.x_rho),
+            np.asarray(grid.y_rho), closed_edges=False)
     polys = holes = None
     if cfg.settlementon and cfg.habitatfile:
         hp = _project_polys(stl.read_polygon_csv(cfg.habitatfile), cfg)
@@ -72,9 +78,7 @@ def load_grid(cfg: Config) -> Grid:
     gd = read_grid(cfg.NCgridfile, cfg,
                    hist_path=None if not cfg.dirin else
                    RomsSeries(cfg).path_for(0))
-    x_axis, y_axis = rho_axes_from_grid(gd, cfg)
-    return make_grid(x_axis, y_axis, gd.h, gd.mask_rho, gd.s_rho, gd.Cs_r,
-                     gd.s_w, gd.Cs_w, gd.hc, gd.vtransform, dtype=dtype)
+    return grid_from_roms(gd, cfg, dtype)
 
 
 def init_particles_from_parfile(cfg: Config) -> st.Particles:
@@ -345,9 +349,17 @@ def run_sharded(cfg: Config, resume: bool = False,
     cfg.validate()
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
         # real multi-host: the standard env (coordinator address,
-        # process count/id) drives jax.distributed
-        jax.distributed.initialize()
+        # process count/id) drives jax.distributed.  Pass explicitly —
+        # auto cluster detection does not cover bare-env launches.
+        kw = {}
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kw = dict(num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                      process_id=int(os.environ["JAX_PROCESS_ID"]))
+        jax.distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"], **kw)
     is_proc0 = jax.process_index() == 0
+    multi = jax.process_count() > 1
+    host_tag = f"_h{jax.process_index():03d}" if multi else ""
     if cfg.dtype_pos == "float64" and not jax.config.jax_enable_x64:
         jax.config.update("jax_enable_x64", True)
     _apply_debug_flags()
@@ -356,6 +368,11 @@ def run_sharded(cfg: Config, resume: bool = False,
     t0 = time.perf_counter()
 
     grid = load_grid(cfg)
+    if grid.curv is not None:
+        raise NotImplementedError(
+            "curvilinear grids run on the single-device driver for now "
+            "(mesh_particles = mesh_tiles = 1); the tiled shard_map step "
+            "slices rectilinear eta strips")
     ctx = build_context(cfg, grid)
     global_rec = 0
 
@@ -383,10 +400,14 @@ def run_sharded(cfg: Config, resume: bool = False,
     resumed_extra = None
     pbuf = None
     if resume:
-        path = ckpt.latest(cfg.checkpoint_dir)
+        path = ckpt.latest(cfg.checkpoint_dir, tag=host_tag)
         if path:
             saved, start_ext, global_rec, resumed_extra = ckpt.load(path)
-            if saved.x.ndim == 3 and saved.x.shape[:2] == (ndp, ntiles):
+            if multi:
+                # per-host local blocks -> global sharded buffers
+                # (mesh must be unchanged between runs)
+                pbuf = shard.globalize_slots(saved, mesh, spec)
+            elif saved.x.ndim == 3 and saved.x.shape[:2] == (ndp, ntiles):
                 pbuf = saved                    # same mesh: exact layout
             else:
                 # mesh changed between runs: re-scatter the flat batch
@@ -397,6 +418,13 @@ def run_sharded(cfg: Config, resume: bool = False,
     if pbuf is None:
         particles = init_particles_from_parfile(cfg)
         pbuf = shard.scatter_particles(particles, spec, tiled.tile_edges)
+    # commit the slot buffers to the mesh sharding up front (scatter
+    # builds host-replicated arrays; without this, multi-host
+    # local_block/local_flat would see the full global buffers before
+    # the first step and per-host shards after it)
+    from jax.sharding import NamedSharding, PartitionSpec
+    pbuf = jax.device_put(
+        pbuf, NamedSharding(mesh, PartitionSpec("dp", "tile")))
 
     if resumed_extra is not None:
         series.seek(global_rec - 3)          # re-prime the record window
@@ -410,15 +438,23 @@ def run_sharded(cfg: Config, resume: bool = False,
     timing.add("hydro_init", time.perf_counter() - t0)
 
     prefetch = Prefetcher(series.next_record) if cfg.prefetch else None
-    writer = TrajectoryWriter(cfg) if is_proc0 else None
+    # multi-host: EVERY process streams its own shard file (fixed-length
+    # rows = its local slot block incl. EMPTY slots; merge with
+    # out.writer.merge_shards).  Single-process keeps the global file.
+    writer = (TrajectoryWriter(cfg, shard_tag=host_tag) if multi
+              else (TrajectoryWriter(cfg) if is_proc0 else None))
     field_dtype = jnp.dtype(cfg.dtype_field)
     window: List[dict] = list(recs)
     win_start = global_rec - 3
     n_ext = cfg.external_steps
     drops_total = 0
 
+    def snap_batch():
+        return (shard.local_flat(pbuf) if multi
+                else shard.gather_particles(pbuf))
+
     if writer and not resume:
-        writer.snapshot(0.0, shard.gather_particles(pbuf))
+        writer.snapshot(0.0, snap_batch())
     try:
         for ext in range(start_ext, n_ext):
             tw = time.perf_counter()
@@ -427,7 +463,7 @@ def run_sharded(cfg: Config, resume: bool = False,
                 if rec is None:
                     print(json.dumps({"event": "series_exhausted",
                                       "ext": ext}))
-                    return shard.gather_particles(pbuf)
+                    return snap_batch()
                 window.append(rec)
                 global_rec += 1
             while win_start < ext:
@@ -464,16 +500,15 @@ def run_sharded(cfg: Config, resume: bool = False,
 
             if writer and (ext + 1) % cfg.output_every_ext == 0:
                 to = time.perf_counter()
-                writer.snapshot(t_ext + cfg.dt,
-                                shard.gather_particles(pbuf))
+                writer.snapshot(t_ext + cfg.dt, snap_batch())
                 timing.add("output", time.perf_counter() - to)
 
             if cfg.checkpoint_every and (ext + 1) % cfg.checkpoint_every == 0:
-                tag = ("" if jax.process_count() == 1
-                       else f"_h{jax.process_index():03d}")
+                # multi-host: each host saves its addressable block only
                 ckpt.save(os.path.join(cfg.checkpoint_dir,
-                                       f"ckpt_{ext + 1}{tag}.npz"),
-                          pbuf, ext + 1, global_rec,
+                                       f"ckpt_{ext + 1}{host_tag}.npz"),
+                          shard.local_block(pbuf) if multi else pbuf,
+                          ext + 1, global_rec,
                           extra={"t_base": float(t_base)})
 
             log = {"ext": ext, "sim_t": t_ext + cfg.dt,
@@ -493,7 +528,7 @@ def run_sharded(cfg: Config, resume: bool = False,
 
     if cfg.WriteModelTiming:
         print(json.dumps({"timing": timing.summary()}))
-    return shard.gather_particles(pbuf)
+    return snap_batch()
 
 
 def main(argv=None):

@@ -490,7 +490,8 @@ def make_tiled_step(ctx: StepContext, cfg: Config, spec: TileSpec,
             # (EMPTY slots ride through — status -1 never activates)
             ci, _ = locate(grid_loc.x_rho, p.x, grid_loc.uniform)
             cj, _ = locate(grid_loc.y_rho, p.y, grid_loc.uniform)
-            ps, perm = _sp.sort_by_cell(p, ci, cj)
+            ps, perm = _sp.sort_by_cell(
+                p, ci, cj, aspect_y=max(1, cfg.kernel_wy // cfg.kernel_wx))
             prec = _pk.build_packed_records(grid_loc, fs_loc,
                                             with_aks=mega_aks)
             p2 = _mega_external_step(
@@ -593,3 +594,66 @@ def gather_particles(pbuf: st.Particles) -> st.Particles:
     order = np.argsort(flat["pid"][keep], kind="stable")
     return st.Particles(**{f: jnp.asarray(v[keep][order])
                            for f, v in flat.items()})
+
+
+def local_block(pbuf: st.Particles) -> st.Particles:
+    """THIS process's addressable region of the sharded slot buffers,
+    as host-numpy leaves with the local (ndp_loc, ntiles_loc, cap)
+    block shape.
+
+    Multi-host-safe: assembles only ``addressable_shards`` — never
+    np.asarray on a globally-sharded array (which raises for
+    non-addressable devices).  The per-process region of a (dp, tile)
+    product sharding is a box, so stitching shard blocks at their
+    index offsets reconstructs it exactly.
+    """
+    def one(arr):
+        shards = list(arr.addressable_shards)
+
+        def bound(ix, a, lo=True):
+            if lo:
+                return 0 if ix.start is None else ix.start
+            return arr.shape[a] if ix.stop is None else ix.stop
+
+        los = [min(bound(s.index[a], a) for s in shards)
+               for a in range(arr.ndim)]
+        his = [max(bound(s.index[a], a, lo=False) for s in shards)
+               for a in range(arr.ndim)]
+        out = np.empty([h - l for l, h in zip(los, his)],
+                       np.dtype(arr.dtype))
+        for s in shards:
+            sl = tuple(slice(bound(ix, a) - lo, bound(ix, a, lo=False) - lo)
+                       for a, (ix, lo) in enumerate(zip(s.index, los)))
+            out[sl] = np.asarray(s.data)
+        return out
+
+    return st.Particles(**{f: one(getattr(pbuf, f))
+                           for f in pbuf._fields})
+
+
+def local_flat(pbuf: st.Particles) -> st.Particles:
+    """local_block flattened to a 1-D batch INCLUDING empty slots
+    (status == EMPTY) — constant length per host across the run, which
+    is what the per-host trajectory shard files need (snapshot datasets
+    are resizable in time, fixed in particle).  Readers/mergers filter
+    status < 0 and sort by pid (out.writer.merge_shards)."""
+    blk = local_block(pbuf)
+    return st.Particles(**{f: jnp.asarray(v.reshape(-1, *v.shape[3:]))
+                           for f, v in blk._asdict().items()})
+
+
+def globalize_slots(p_local: st.Particles, mesh: Mesh,
+                    spec: TileSpec) -> st.Particles:
+    """Re-form the globally-sharded slot buffers from per-process local
+    blocks (multi-host checkpoint resume; inverse of local_block for an
+    unchanged mesh)."""
+    from jax.sharding import NamedSharding
+
+    def glob(a):
+        a = np.asarray(a)
+        gshape = (spec.ndp, spec.ntiles) + a.shape[2:]
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P("dp", "tile")), a, gshape)
+
+    return st.Particles(**{f: glob(getattr(p_local, f))
+                           for f in p_local._fields})

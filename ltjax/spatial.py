@@ -89,8 +89,17 @@ def _unpack_rows(rows: jax.Array, like: st.Particles) -> st.Particles:
     return st.Particles(**vals)
 
 
-def sort_by_cell(p: st.Particles, i, j):
+def sort_by_cell(p: st.Particles, i, j, aspect_y: int = 1):
     """Hilbert-sort the state by cell index; returns (p_sorted, perm).
+
+    ``aspect_y`` (power of two): coarsen the eta coordinate by this
+    factor in the Hilbert key, so equal-length key runs cover
+    ``aspect_y``x more cells in eta than in xi — blocks come out tall.
+    Matched to the fused kernels' window aspect (wy/wx), this keeps
+    non-square windows (e.g. 16x8, which HALVES the one-hot blend MXU
+    cost vs 16x16) fed with blocks that actually fit: measured at 1M
+    particles, 16x8 windows see ~9.6% window misses with square blocks
+    and <1% with aspect-matched ones.
 
     Frozen particles (settled / dead / out-of-domain / errored — any
     status that can never move again) sort AFTER all live ones: they
@@ -105,6 +114,8 @@ def sort_by_cell(p: st.Particles, i, j):
     Requires f32 position dtype (the kernel path's precondition); the
     permutation row-gather exactly preserves every column bit pattern.
     """
+    if aspect_y > 1:
+        j = j >> (int(aspect_y).bit_length() - 1)
     key = hilbert_key(i, j)                    # < 2^30 (bits=15)
     frozen = p.status >= st.SETTLED
     key = key + jnp.where(frozen, jnp.int32(1) << 30, 0)

@@ -336,9 +336,11 @@ def make_external_step(ctx: StepContext, cfg: Config, base_key):
         if use_kernel:
             # Hilbert sort once per external step: the kernels' VMEM
             # window scheme needs spatially compact particle blocks
+            # (aspect-matched to non-square windows)
             ci, _ = locate(ctx.grid.x_rho, p.x, ctx.grid.uniform)
             cj, _ = locate(ctx.grid.y_rho, p.y, ctx.grid.uniform)
-            p, perm = sp.sort_by_cell(p, ci, cj)
+            p, perm = sp.sort_by_cell(
+                p, ci, cj, aspect_y=max(1, cfg.kernel_wy // cfg.kernel_wx))
 
         if use_mega:
             p2 = _mega_external_step(ctx, cfg, base_key, p, fields, prec,
@@ -413,7 +415,8 @@ def make_fused_external_steps(ctx: StepContext, cfg: Config, base_key,
             # capacity.  The row-packed sort costs ~10 ms (~3%).
             ci, _ = locate(grid.x_rho, pp.x, grid.uniform)
             cj, _ = locate(grid.y_rho, pp.y, grid.uniform)
-            pp, perm = sp.sort_by_cell(pp, ci, cj)
+            pp, perm = sp.sort_by_cell(
+                pp, ci, cj, aspect_y=max(1, cfg.kernel_wy // cfg.kernel_wx))
             cum = cum[perm]
             tab3 = jax.lax.dynamic_slice_in_dim(prec_all.tab, e, 3, 0)
             times3 = jax.lax.dynamic_slice_in_dim(fsR.times, e, 3, 0)

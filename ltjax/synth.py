@@ -121,6 +121,88 @@ def make_solid_body_case(nx=41, ny=41, us=10, lx=100e3, ly=100e3,
                          shear_a=shear_a, ramp_b=ramp_b, h0=h0)
 
 
+class CurvSolidBodyCase(NamedTuple):
+    """Solid-body rotation on a gently CURVILINEAR Arakawa-C mesh.
+
+    The mesh is a smooth sinusoidal distortion of a rectangle; the
+    velocity field is the same physical solid-body rotation sampled at
+    the curvilinear node positions (components stored as east/north —
+    see the angle note in io.roms).  Because the engine's inverse
+    locate and its value interpolation use the SAME per-cell bilinear
+    map, a linear-in-physical-space velocity interpolates exactly on
+    the rho mesh; the staggered u/v meshes differ from the rho mesh by
+    O(h^2 * curvature), so trajectories match the analytic circles to
+    a few metres over hours (vs ~mm on rectilinear) — the curvilinear
+    acceptance tests budget that.  Reference analog: the bundled
+    estuary test case runs on a curvilinear grid (SURVEY.md SS2.1 #17
+    [conf: M]).
+    """
+    grid: Grid
+    x2d: np.ndarray
+    y2d: np.ndarray
+    omega: float
+    xc: float
+    yc: float
+    h0: float
+
+    def velocity(self, x, y, z, t):
+        u = -self.omega * (y - self.yc)
+        v = self.omega * (x - self.xc)
+        return u, v, np.zeros_like(u)
+
+    def analytic(self, x0, y0, z0, t):
+        r = np.hypot(x0 - self.xc, y0 - self.yc)
+        th0 = np.arctan2(y0 - self.yc, x0 - self.xc)
+        th = th0 + self.omega * t
+        return (self.xc + r * np.cos(th), self.yc + r * np.sin(th),
+                np.full_like(np.asarray(th, np.float64), z0,
+                             dtype=np.float64))
+
+    def slabs(self, t):
+        g = self.grid
+        nx, ny, us, ws = g.nx, g.ny, g.us, g.ws
+        x2, y2 = self.x2d, self.y2d
+        zeta = np.zeros((ny, nx))
+        # u nodes: midpoints of x-adjacent rho nodes (logical stagger)
+        xu = 0.5 * (x2[:, 1:] + x2[:, :-1])
+        yu = 0.5 * (y2[:, 1:] + y2[:, :-1])
+        xv = 0.5 * (x2[1:, :] + x2[:-1, :])
+        yv = 0.5 * (y2[1:, :] + y2[:-1, :])
+        u = np.broadcast_to((-self.omega * (yu - self.yc))[None],
+                            (us, ny, nx - 1))
+        v = np.broadcast_to((self.omega * (xv - self.xc))[None],
+                            (us, ny - 1, nx))
+        w = np.zeros((ws, ny, nx))
+        aks = np.zeros((ws, ny, nx))
+        return dict(zeta=zeta, u=np.ascontiguousarray(u),
+                    v=np.ascontiguousarray(v), w=w, aks=aks)
+
+
+def make_curv_case(nx=41, ny=41, us=10, lx=100e3, ly=100e3, h0=50.0,
+                   omega=1e-4, amp=0.02, mask=None,
+                   dtype=None) -> CurvSolidBodyCase:
+    """Gently-curvilinear analytic case: sinusoidal mesh distortion of
+    relative amplitude ``amp`` (fraction of the domain size)."""
+    import jax.numpy as jnp
+    from .grid import make_curv_grid
+    if dtype is None:
+        dtype = jnp.float64 if jnp.array(1.0).dtype == jnp.float64 \
+            else jnp.float32
+    xi = np.linspace(0.0, lx, nx)
+    eta = np.linspace(0.0, ly, ny)
+    X, Y = np.meshgrid(xi, eta)
+    x2 = X + amp * lx * np.sin(np.pi * X / lx) * np.sin(2 * np.pi * Y / ly)
+    y2 = Y + amp * ly * np.sin(2 * np.pi * X / lx) * np.sin(np.pi * Y / ly)
+    h = np.full((ny, nx), h0)
+    if mask is None:
+        mask = np.ones((ny, nx), np.int32)
+    s_rho, s_w = uniform_sigma_levels(us)
+    grid = make_curv_grid(x2, y2, h, mask, s_rho, s_rho, s_w, s_w,
+                          hc=h0, vtransform=1, dtype=dtype)
+    return CurvSolidBodyCase(grid=grid, x2d=x2, y2d=y2, omega=omega,
+                             xc=lx / 2, yc=ly / 2, h0=h0)
+
+
 def write_roms_files(case: SolidBodyCase, out_dir: str, n_records: int,
                      dt: float, records_per_file: int = 4,
                      prefix: str = "ocean_his_", numdigits: int = 4,
@@ -141,23 +223,32 @@ def write_roms_files(case: SolidBodyCase, out_dir: str, n_records: int,
     os.makedirs(out_dir, exist_ok=True)
     g = case.grid
     nx, ny, us, ws = g.nx, g.ny, g.us, g.ws
-    x = np.asarray(g.x_rho)
-    y = np.asarray(g.y_rho)
+    if g.curv is not None:
+        x2d = np.asarray(case.x2d, np.float64)
+        y2d = np.asarray(case.y2d, np.float64)
+    else:
+        x = np.asarray(g.x_rho)
+        y = np.asarray(g.y_rho)
+        x2d = np.broadcast_to(x, (ny, nx))
+        y2d = np.broadcast_to(y[:, None], (ny, nx))
     if geographic:
-        lat_ax = convert.y2lat(y, latmin)
-        lon_ax = convert.x2lon(x, np.full_like(x, y.mean()), lonmin, latmin)
-        lon2d = np.broadcast_to(lon_ax, (ny, nx))
-        lat2d = np.broadcast_to(lat_ax[:, None], (ny, nx))
+        lat2d = np.asarray(convert.y2lat(y2d, latmin))
+        if g.curv is not None:
+            # pointwise inverse projection (x2lon takes y in meters)
+            lon2d = np.asarray(convert.x2lon(x2d, y2d, lonmin, latmin))
+        else:
+            # rectilinear-in-meters stays rectilinear-in-degrees: project
+            # the x axis at the mid latitude (matches rho_axes_from_grid)
+            y_mid = np.full_like(x2d, float(y2d.mean()))
+            lon2d = np.asarray(convert.x2lon(x2d, y_mid, lonmin, latmin))
         coord_vars = {
             "lon_rho": (("eta_rho", "xi_rho"), lon2d),
             "lat_rho": (("eta_rho", "xi_rho"), lat2d),
         }
     else:
         coord_vars = {
-            "x_rho": (("eta_rho", "xi_rho"),
-                      np.broadcast_to(x, (ny, nx))),
-            "y_rho": (("eta_rho", "xi_rho"),
-                      np.broadcast_to(y[:, None], (ny, nx))),
+            "x_rho": (("eta_rho", "xi_rho"), x2d),
+            "y_rho": (("eta_rho", "xi_rho"), y2d),
         }
 
     grid_path = os.path.join(out_dir, "grid.nc")

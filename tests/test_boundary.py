@@ -60,15 +60,16 @@ def test_specular_reflection_off_vertical_wall():
 def test_corner_double_reflection():
     b = _square_domain(6, closed=True)
     # bottom-left water corner is (-0.5, -0.5); aim diagonally out
+    # (displacement 1.35 cells: below the 1.5-cell max-step guard)
     x0 = jnp.asarray([0.0])
     y0 = jnp.asarray([0.0])
-    x1 = jnp.asarray([-1.2])
-    y1 = jnp.asarray([-1.3])
+    x1 = jnp.asarray([-0.9])
+    y1 = jnp.asarray([-1.0])
     xr, yr, hits, exited, stuck = bd.reflect(b, x0, y0, x1, y1,
                                              open_exits=False)
-    # two specular bounces: back inside at (0.2, 0.3)
-    np.testing.assert_allclose(float(xr[0]), 0.2, atol=1e-4)
-    np.testing.assert_allclose(float(yr[0]), 0.3, atol=1e-4)
+    # two specular bounces: back inside at (-0.1, 0.0)
+    np.testing.assert_allclose(float(xr[0]), -0.1, atol=1e-4)
+    np.testing.assert_allclose(float(yr[0]), 0.0, atol=1e-4)
     assert int(hits[0]) == 2
     assert not bool(stuck[0])
 
@@ -140,12 +141,20 @@ def test_tunnel_guard_catches_overstep():
     assert bool(stuck[0])
     assert not bool(exited[0])
 
-    # a same-length jump with no land anywhere on the path stays clean
+    # ANY displacement beyond the 1.5-cell bucket radius is now flagged
+    # regardless of what lies on the path (max-displacement guard,
+    # VERDICT r3 weak #2: midpoint luck must never decide tunneling)
     x0b = jnp.asarray([1.2])
     x1b = jnp.asarray([4.8])
     _, _, _, _, stuck_b = bd.reflect(b, x0b, y0, x1b, y1,
                                      open_exits=False, n_iter=4)
-    assert not bool(stuck_b[0])
+    assert bool(stuck_b[0])
+
+    # a sub-radius jump with no land on the path stays clean
+    x1c = jnp.asarray([2.6])
+    _, _, _, _, stuck_c = bd.reflect(b, x0b, y0, x1c, y1,
+                                     open_exits=False, n_iter=4)
+    assert not bool(stuck_c[0])
 
 
 def test_tunnel_guard_no_false_positive_on_reflection():
