@@ -42,7 +42,9 @@ def build(numpar=1_000_000, nx=200, ny=200, us=20, dt=3600, idt=120,
           n_records=3, variant="advect"):
     """variant: "advect" (BASELINE config 1), "turb" (config 2/3:
     HTurb + Visser VTurb on Aks), "behavior" (config-4 style: type-6
-    sinking + mortality — settlement adds the XLA per-step path)."""
+    sinking + mortality), "dvm" (type-3 diel vertical migration),
+    "settle" (config 4: behavior + settlement polygons — full-cell
+    fast path + exact-patch deferral)."""
     dtype = jnp.float32
     kw = {}
     if variant == "turb":
@@ -50,6 +52,12 @@ def build(numpar=1_000_000, nx=200, ny=200, us=20, dt=3600, idt=120,
                   readAks=True)
     elif variant == "behavior":
         kw = dict(Behavior=6, sink=1e-3, mortality=True, deadage=5e6)
+    elif variant == "dvm":
+        kw = dict(Behavior=3, swimslow=1e-3, swimfast=3e-3,
+                  pediage=5e6)
+    elif variant == "settle":
+        kw = dict(Behavior=6, sink=1e-3, settlementon=True,
+                  pediage=0.0)
     cfg = Config(numpar=numpar, dt=dt, idt=idt, us=us, ws=us + 1,
                  OpenOceanBoundary=True, dtype_pos="float32",
                  reflect_iters=2, **kw)
@@ -60,7 +68,16 @@ def build(numpar=1_000_000, nx=200, ny=200, us=20, dt=3600, idt=120,
     bounds = bd.build_boundaries(np.asarray(grid.mask_rho),
                                  np.asarray(grid.x_rho),
                                  np.asarray(grid.y_rho))
-    ctx = StepContext(grid=grid, bounds=bounds, polys=None, holes=None)
+    polys = holes = None
+    if variant == "settle":
+        from ltjax.physics import settlement as stl
+        # a 12x12 km habitat square in the rotation path (config 4
+        # spirit: sparse habitat; most cells untouched, rim deferred)
+        poly = [(101, np.asarray([[120e3, 120e3], [132e3, 120e3],
+                                  [132e3, 132e3], [120e3, 132e3]]))]
+        polys = stl.build_polygons(poly, np.asarray(bounds.x_edges),
+                                   np.asarray(bounds.y_edges))
+    ctx = StepContext(grid=grid, bounds=bounds, polys=polys, holes=holes)
     fs = synth.fieldset_window(case, -float(dt) / 2, float(dt), n_records,
                                dtype=jnp.float32)
     if variant == "turb":

@@ -45,6 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..grid import Grid
+from ..physics.behavior import BOTTOM_ZONE, P_BIAS, SURFACE_ZONE
 from ..physics.boundary import Boundaries, LAND, OPEN
 from .. import rng as _rng
 from .gather_interp import (WC, WX, WY, _IDX_HC, _IDX_INVDX, _IDX_INVDY,
@@ -113,11 +114,16 @@ def params_static_ext(grid: Grid, bounds: Boundaries, z0m: float,
     return np.concatenate([head, inter]).astype(np.float32)
 
 
-def finish_params(static, t0, times, idt: float, n_int: int) -> jax.Array:
+def finish_params(static, t0, times, idt: float, n_int: int,
+                  dvm=None) -> jax.Array:
     """Append the dynamic params: start time + per-(step, stage)
     polintd Lagrange coefficients (n_int * 9 floats; stage times are
     t0 + i*idt + {0, idt/2, idt}).  ``static`` may be a host array or a
-    traced per-tile row inside shard_map."""
+    traced per-tile row inside shard_map.
+
+    ``dvm``: (twistart, twiend, Em) — appends n_int per-step surface
+    irradiance values E0(t_i) for in-kernel DVM (behavior type 3;
+    mirrors physics.behavior.surface_irradiance exactly)."""
     static = jnp.asarray(static, jnp.float32)
     static = static.at[_IDX_T0].set(jnp.asarray(t0, jnp.float32))
 
@@ -132,7 +138,18 @@ def finish_params(static, t0, times, idt: float, n_int: int) -> jax.Array:
     l1 = (ts - t0r) * (ts - t2r) / ((t1r - t0r) * (t1r - t2r))
     l2 = (ts - t0r) * (ts - t1r) / ((t2r - t0r) * (t2r - t1r))
     coef = jnp.stack([l0, l1, l2], axis=-1).reshape(-1).astype(jnp.float32)
-    return jnp.concatenate([static, coef])
+    parts = [static, coef]
+    if dvm is not None:
+        twistart, twiend, Em = dvm
+        t_i = (jnp.asarray(t0, jnp.float32)
+               + jnp.arange(n_int, dtype=jnp.float32)
+               * jnp.float32(idt))
+        hours = (t_i / 3600.0) % 24.0
+        tau = (hours - twistart) / (twiend - twistart)
+        day = (tau > 0.0) & (tau < 1.0)
+        e0 = jnp.where(day, Em * jnp.sin(jnp.pi * tau), 0.0)
+        parts.append(e0.astype(jnp.float32))
+    return jnp.concatenate(parts)
 
 
 def params_array_ext(grid: Grid, bounds: Boundaries, z0m: float,
@@ -140,45 +157,151 @@ def params_array_ext(grid: Grid, bounds: Boundaries, z0m: float,
                      const_hturb: float = 0.0,
                      const_vturb: float = 0.0,
                      sink: float = 0.0,
-                     deadage: float = np.inf) -> jax.Array:
+                     deadage: float = np.inf,
+                     dvm=None) -> jax.Array:
     """SMEM params: head scalars + s/Cs pairs + dynamic tail
     (finish_params)."""
     static = params_static_ext(grid, bounds, z0m, idt,
                                const_hturb=const_hturb,
                                const_vturb=const_vturb,
                                sink=sink, deadage=deadage)
-    return finish_params(static, t0, times, idt, n_int)
+    return finish_params(static, t0, times, idt, n_int, dvm=dvm)
 
 
-def rng_keys_array(base_key, ext_idx, n_int: int) -> jax.Array:
-    """(n_int * 4,) int32: per-internal-step derived Threefry key pairs
-    for the HTURB and VTURB substreams — EXACTLY
+def rng_keys_array(base_key, ext_idx, n_int: int,
+                   behave: bool = False) -> jax.Array:
+    """(n_int * 4 [or 8],) int32: per-internal-step derived Threefry
+    key pairs for the HTURB and VTURB substreams — EXACTLY
     ltjax.rng.stream_key(base_key, ext_idx*n_int + i, substream), so
-    kernel draws match the XLA paths bit-for-bit."""
+    kernel draws match the XLA paths bit-for-bit.  ``behave`` appends
+    the BEHAVE and MORTALITY substream pairs (behavior types 1-3)."""
     k0, k1 = _rng.seed_words(base_key)
     steps = (jnp.asarray(ext_idx, jnp.uint32) * jnp.uint32(n_int)
              + jnp.arange(n_int, dtype=jnp.uint32))
-    h0, h1 = _rng.threefry2x32(k0, k1, steps,
-                               jnp.full_like(steps, _rng.HTURB))
-    v0, v1 = _rng.threefry2x32(k0, k1, steps,
-                               jnp.full_like(steps, _rng.VTURB))
-    arr = jnp.stack([h0, h1, v0, v1], axis=-1).reshape(-1)
+    cols = []
+    subs = [_rng.HTURB, _rng.VTURB]
+    if behave:
+        subs += [_rng.BEHAVE, _rng.MORTALITY]
+    for sub in subs:
+        s0, s1 = _rng.threefry2x32(k0, k1, steps,
+                                   jnp.full_like(steps, sub))
+        cols += [s0, s1]
+    arr = jnp.stack(cols, axis=-1).reshape(-1)
     return jax.lax.bitcast_convert_type(arr, jnp.int32)
 
 
-def boundary_rows_table(bounds: Boundaries, ny: int, nx: int) -> np.ndarray:
+def boundary_rows_table(bounds: Boundaries, ny: int, nx: int,
+                        polys=None, holes=None) -> np.ndarray:
     """(Ny, Nx, BL) f32 boundary cell-row table, lanes padded to a
-    128-multiple (window-DMA minor-dim tiling requirement)."""
+    128-multiple (window-DMA minor-dim tiling requirement).
+
+    With ``polys`` (settlement on), lanes 1/2 carry the per-cell
+    settlement classification (see settle_lanes)."""
     rows = np.asarray(bounds.cell_rows, np.float32)
     BL = ((rows.shape[1] + 127) // 128) * 128
     out = np.zeros((ny * nx, BL), np.float32)
     out[:, :rows.shape[1]] = rows
-    return out.reshape(ny, nx, BL)
+    out = out.reshape(ny, nx, BL)
+    if polys is not None:
+        state, pid = settle_lanes(polys, holes, bounds.x_edges,
+                                  bounds.y_edges)
+        out[:, :, 1] = state
+        out[:, :, 2] = pid
+    return out
+
+
+def _seg_crosses_box(ax, ay, bx, by, x0, x1, y0, y1) -> np.ndarray:
+    """Vectorized: does segment (a, b) intersect the axis box?  (Both
+    endpoints-outside cases included; touching counts.)"""
+    # Liang-Barsky clip of the parametric segment against the box
+    dx = bx - ax
+    dy = by - ay
+    t0 = np.zeros_like(ax)
+    t1 = np.ones_like(ax)
+    ok = np.ones_like(ax, bool)
+    for p, q in ((-dx, ax - x0), (dx, x1 - ax),
+                 (-dy, ay - y0), (dy, y1 - ay)):
+        par = np.abs(p) < 1e-30
+        ok &= ~(par & (q < 0))
+        psafe = np.where(par, 1.0, p)
+        r = q / psafe
+        t0 = np.where(~par & (p < 0), np.maximum(t0, r), t0)
+        t1 = np.where(~par & (p > 0), np.minimum(t1, r), t1)
+    return ok & (t0 <= t1)
+
+
+def settle_lanes(polys, holes, x_edges, y_edges):
+    """Per-boundary-cell settlement classification for the in-kernel
+    fast path (host numpy, once at init).
+
+    state 0: no habitat polygon overlaps the cell — settlement
+             impossible there;
+    state 1: the cell is FULLY inside exactly one habitat polygon and
+             no hole polygon comes near — the kernel settles an
+             eligible particle immediately with ``pid``;
+    state 2: partial / ambiguous (polygon edge crosses the cell,
+             multiple overlapping candidates, or a hole nearby) — the
+             kernel defers the particle to the exact XLA recompute
+             (the oob patch runs full test_settlement, value-identical
+             to the pure XLA path).
+    Reference: testSettlement point-in-polygon + initSettlement's
+    element mapping (settlement_module.f90, SURVEY.md SS2.1 #9).
+    """
+    from ..physics.settlement import point_in_polygon
+    import jax.numpy as jnp
+
+    xe = np.asarray(x_edges, np.float64)
+    ye = np.asarray(y_edges, np.float64)
+    ny, nx = len(ye) - 1, len(xe) - 1
+    cands = np.asarray(polys.cell_cands)            # (ny, nx, Cmax)
+    vx = np.asarray(polys.verts_x)
+    vy = np.asarray(polys.verts_y)
+    pid = np.asarray(polys.poly_id)
+    hc = (np.asarray(holes.cell_cands) if holes is not None else None)
+    state = np.zeros((ny, nx), np.float32)
+    out_pid = np.full((ny, nx), -1.0, np.float32)
+    for j in range(ny):
+        for i in range(nx):
+            ks = cands[j, i]
+            ks = ks[ks >= 0]
+            if ks.size == 0:
+                continue
+            if hc is not None and (hc[j, i] >= 0).any():
+                state[j, i] = 2.0
+                continue
+            x0, x1 = xe[i], xe[i + 1]
+            y0, y1 = ye[j], ye[j + 1]
+            cx = np.asarray([x0, x1, x0, x1])
+            cy = np.asarray([y0, y0, y1, y1])
+            covering = []
+            crossed = False
+            for k in ks:
+                # any edge of candidate k crossing the cell => partial
+                ax, ay = vx[k], vy[k]
+                bx = np.roll(ax, -1)
+                by = np.roll(ay, -1)
+                if _seg_crosses_box(ax, ay, bx, by, x0, x1, y0, y1).any():
+                    crossed = True
+                    break
+                inside = np.asarray(point_in_polygon(
+                    jnp.asarray(vx[k])[None, :], jnp.asarray(vy[k])[None, :],
+                    jnp.asarray(cx), jnp.asarray(cy)))
+                if inside.all():
+                    covering.append(k)
+                # corners all outside + no edge crossing => disjoint
+            if crossed or len(covering) > 1:
+                state[j, i] = 2.0
+            elif len(covering) == 1:
+                state[j, i] = 1.0
+                out_pid[j, i] = float(pid[covering[0]])
+            # else: candidates by bbox only, cell actually clear -> 0
+    return state, out_pid
 
 
 # status codes (must mirror ltjax.state)
 _NOT_RELEASED = 0
 _ACTIVE = 1
+_SETTLED = 2
 _DEAD = 3
 _OUT_OF_DOMAIN = 4
 _ERROR = 5
@@ -191,7 +314,8 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                      vturb_aks: bool, window=(WY, WX),
                      fast_math: bool = False,
                      sink_on: bool = False, mortality: bool = False,
-                     ladder=None):
+                     ladder=None, behavior: int = 0, beh=None,
+                     settle_on: bool = False):
     P = p_block
     PS = P // 128
     wy, wx = window
@@ -203,7 +327,10 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                                  window=window, fast_math=fast_math,
                                  ntot=ntot, ladder=ladder)
     CW_k = const_ladder(ladder[1], sigma) if ladder is not None else None
+    beh_swim = behavior in (1, 2, 3)   # in-kernel swimming behaviors
+    rng_stride = 8 if beh_swim else 4  # words per step in rngk
     coef0 = _head_len(grid.us, grid.ws)
+    ir0 = coef0 + 9 * n_int            # per-step E0 tail (behavior 3)
     gs, c_off, c_diag = _gs_fns(sigma)
     ds = _ds_fn(sigma)
     any_turb = hturb_on or vturb_on
@@ -339,9 +466,9 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
         return x1, y1, exited, stuck, hitl, oob
 
     def kernel(par_ref, rngk_ref, x_ref, y_ref, z_ref, dob_ref, st_ref,
-               pid_ref, tab_hbm, brows_hbm,
-               xo_ref, yo_ref, zo_ref, sto_ref, hitl_ref, hitb_ref,
-               oob_ref,
+               pid_ref, spol_ref, tab_hbm, brows_hbm,
+               xo_ref, yo_ref, zo_ref, sto_ref, spolo_ref, hitl_ref,
+               hitb_ref, oob_ref,
                wtab, wbd, sems):
         b = pl.program_id(0)
         idtc = jnp.float32(idt)
@@ -394,6 +521,7 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
         zv = z_ref[0]
         dob = dob_ref[0]
         st = st_ref[0]
+        spol = spol_ref[0]
         hitl = jnp.zeros((PS, 128), jnp.int32)
         hitb = jnp.zeros((PS, 128), jnp.int32)
         oob = jnp.zeros((PS, 128), jnp.bool_)
@@ -450,7 +578,7 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
             def compute(carry):
                 # oob rides as int32: Mosaic cannot legalize i1-vector loop
                 # carries (scf.for legalization failure, observed on v5e)
-                (xv, yv, zv, st, hitl, hitb, oobi,
+                (xv, yv, zv, st, spol, hitl, hitb, oobi,
                  poy, pox, im_prev, jm_prev) = carry
                 oob = oobi != 0
                 oy, ox, im, jm = origin(xv, yv, oob)
@@ -517,7 +645,7 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                             + par_ref[c + 2] * wfv.reshape(wc, HL)[:, :HLc])
 
                 w1 = win_at(0)
-                if vturb_aks:
+                if vturb_aks or beh_swim:
                     u1, v1, ww1, oob1, aux1 = stage_eval(
                         par_ref, oy_f, ox_f, w1, xv, yv, zv, oob, extras=True)
                 else:
@@ -543,19 +671,19 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
 
                 # --- turbulence (in-kernel Threefry; identical streams to
                 # ltjax.rng, so kernel and XLA-patch paths agree) ----------
-                if any_turb:
+                if any_turb or beh_swim:
                     pidv = pid_ref[0].astype(jnp.uint32)
                     zero_u = jnp.zeros_like(pidv)
                 if hturb_on:
-                    kh0 = rngk_ref[4 * i].astype(jnp.uint32)
-                    kh1 = rngk_ref[4 * i + 1].astype(jnp.uint32)
+                    kh0 = rngk_ref[rng_stride * i].astype(jnp.uint32)
+                    kh1 = rngk_ref[rng_stride * i + 1].astype(jnp.uint32)
                     hb0, hb1 = _rng.threefry2x32(kh0, kh1, pidv, zero_u)
                     n0, n1 = _rng.box_muller(hb0, hb1, jnp.float32)
                     x1 = x1 + n0 * par_ref[_IDX_HSCALE]
                     y1 = y1 + n1 * par_ref[_IDX_HSCALE]
                 if vturb_on:
-                    kv0 = rngk_ref[4 * i + 2].astype(jnp.uint32)
-                    kv1 = rngk_ref[4 * i + 3].astype(jnp.uint32)
+                    kv0 = rngk_ref[rng_stride * i + 2].astype(jnp.uint32)
+                    kv1 = rngk_ref[rng_stride * i + 3].astype(jnp.uint32)
                     vb0, _ = _rng.threefry2x32(kv0, kv1, pidv, zero_u)
                     R = _rng.bits_to_symmetric(vb0, jnp.float32)
                     if vturb_aks:
@@ -593,6 +721,54 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                     # behavior type 6: constant sinking velocity
                     # (behavior_module.f90 `sink`, SURVEY.md SS2.1 #8)
                     z1 = z1 + par_ref[_IDX_SINKDZ]
+
+                if beh_swim:
+                    # behavior types 1-3 in-kernel (mirrors
+                    # physics.behavior.behave: zone-biased vertical walk
+                    # for 1/2, irradiance-driven DVM for 3; identical
+                    # BEHAVE/MORTALITY Threefry streams, so kernel and
+                    # XLA-patch paths take the same stochastic walk)
+                    bl1v = aux1[0]
+                    zeta_b = bl1v[nv - 2]
+                    h_b = bl1v[nv - 1]
+                    age_pre = t_i - dob
+                    denom = max(beh["pediage"] - beh["swimstart"], 1e-30)
+                    frac = jnp.clip(
+                        (age_pre - jnp.float32(beh["swimstart"]))
+                        * jnp.float32(1.0 / denom), 0.0, 1.0)
+                    wsw = (jnp.float32(beh["swimslow"])
+                           + jnp.float32(beh["swimfast"]
+                                         - beh["swimslow"]) * frac)
+                    wsw = jnp.where(age_pre >= beh["swimstart"], wsw, 0.0)
+                    kb0 = rngk_ref[rng_stride * i + 4].astype(jnp.uint32)
+                    kb1 = rngk_ref[rng_stride * i + 5].astype(jnp.uint32)
+                    km0 = rngk_ref[rng_stride * i + 6].astype(jnp.uint32)
+                    km1 = rngk_ref[rng_stride * i + 7].astype(jnp.uint32)
+                    bb0, _ = _rng.threefry2x32(kb0, kb1, pidv, zero_u)
+                    mb0, _ = _rng.threefry2x32(km0, km1, pidv, zero_u)
+                    r_dir = _rng.bits_to_uniform(bb0, jnp.float32)
+                    r_mix = _rng.bits_to_symmetric(mb0, jnp.float32)
+                    rnd_dz = r_mix * wsw * idtc
+                    if behavior == 1:
+                        below_zone = zv < (zeta_b - SURFACE_ZONE)
+                        sgn = jnp.where(r_dir < P_BIAS, 1.0, -1.0)
+                        dzb = jnp.where(below_zone, sgn * wsw * idtc,
+                                        rnd_dz)
+                    elif behavior == 2:
+                        above_zone = zv > (-h_b + BOTTOM_ZONE)
+                        sgn = jnp.where(r_dir < P_BIAS, -1.0, 1.0)
+                        dzb = jnp.where(above_zone, sgn * wsw * idtc,
+                                        rnd_dz)
+                    else:
+                        e0 = par_ref[ir0 + i]
+                        light = e0 * jnp.exp(
+                            -jnp.float32(beh["Kp"])
+                            * jnp.maximum(zeta_b - zv, 0.0))
+                        dzb = jnp.where(light > beh["thresh"],
+                                        -wsw * idtc,
+                                        jnp.where(e0 > 0.0, wsw * idtc,
+                                                  rnd_dz))
+                    z1 = z1 + dzb
 
                 # horizontal boundary reflection (skipped when the window
                 # holds no segments — interior blocks).  The trigger reads
@@ -678,24 +854,61 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                     # p.age = t_i - dob), and DEAD overrides a same-step
                     # stuck ERROR but not an exit, matching internal_step's
                     # status-update order
-                    age_pre = t_i - dob
-                    dies = act & ~exited & (age_pre >= par_ref[_IDX_DEADAGE])
+                    age_m = t_i - dob
+                    dies = act & ~exited & (age_m >= par_ref[_IDX_DEADAGE])
                     st = jnp.where(dies, _DEAD, st)
-                return (xv, yv, zv, st, hitl, hitb, oob.astype(jnp.int32),
-                        npy, npx, im, jm)
+
+                if settle_on:
+                    # settlement fast path: per-cell classification
+                    # lanes (settle_lanes via boundary_rows_table) at
+                    # the post-reflect cell.  Fully-inside cells settle
+                    # here (exactly what the XLA point-in-polygon would
+                    # decide); partial/ambiguous cells DEFER the
+                    # particle to the exact XLA recompute through the
+                    # oob patch — value-identical to the pure XLA path.
+                    tbx2 = (xr - par_ref[_IDX_BX0]) * par_ref[_IDX_INVBDX]
+                    tby2 = (yr - par_ref[_IDX_BY0]) * par_ref[_IDX_INVBDY]
+                    lib2 = jnp.clip(jnp.clip(jnp.floor(tbx2), 0.0,
+                                             float(nx - 1)) - ox_f,
+                                    0.0, float(wx - 1))
+                    ljb2 = jnp.clip(jnp.clip(jnp.floor(tby2), 0.0,
+                                             float(ny - 1)) - oy_f,
+                                    0.0, float(wy - 1))
+                    ohs = make_cell_onehot(lib2, ljb2, P, wy, wx)
+                    rows_s = jax.lax.dot_general(
+                        wbd[pl.ds(bank, 1)][0].reshape(wc, BL)[:, :8], ohs,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=row_precision)               # (8, P)
+                    rs8 = rows_s.reshape(8, PS, 128)
+                    s_state = rs8[1]
+                    s_pid = rs8[2]
+                    age_ok = (t_i - dob + idtc) >= jnp.float32(
+                        beh["pediage"])
+                    base_el = act & ~exited & ~stuck & age_ok
+                    settles = (base_el & (st == _ACTIVE)
+                               & (s_state > 0.5) & (s_state < 1.5))
+                    st = jnp.where(settles, _SETTLED, st)
+                    spol = jnp.where(settles & (spol < 0),
+                                     s_pid.astype(jnp.int32), spol)
+                    oob = oob | (base_el & (s_state > 1.5))
+                return (xv, yv, zv, st, spol, hitl, hitb,
+                        oob.astype(jnp.int32), npy, npx, im, jm)
 
             return jax.lax.cond(live_any, compute,
                                 lambda c: c, carry)
 
-        xv, yv, zv, st, hitl, hitb, oobi, _, _, _, _ = jax.lax.fori_loop(
+        (xv, yv, zv, st, spol, hitl, hitb, oobi,
+         _, _, _, _) = jax.lax.fori_loop(
             0, n_int, body,
-            (xv, yv, zv, st, hitl, hitb, oob.astype(jnp.int32),
+            (xv, yv, zv, st, spol, hitl, hitb, oob.astype(jnp.int32),
              oy0, ox0, im0, jm0))
         oob = oobi != 0
         xo_ref[0] = xv
         yo_ref[0] = yv
         zo_ref[0] = zv
         sto_ref[0] = st
+        spolo_ref[0] = spol
         hitl_ref[0] = hitl
         hitb_ref[0] = hitb
         oob_ref[0] = oob.astype(jnp.int32)
@@ -715,14 +928,22 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
                    window=(WY, WX), fast_math: bool = False,
                    sink_on: bool = False, mortality: bool = False,
                    sfast: bool = True,
+                   behavior: int = 0, beh=None, settle_on: bool = False,
+                   spols=None,
                    interpret: bool = False):
     """Run one full external step in-kernel.
 
     rtab: (3, Ny, Nx, HL) f32 record value tables
     (ltjax.packed.build_record_tables); brows: (Ny, Nx, BL) f32 boundary
-    rows (boundary_rows_table); params: params_array_ext.  x/y/z/dob f32
-    and status int32 are Hilbert-sorted, length a multiple of p_block.
-    Returns (x, y, z, status, hit_land, hit_bottom, oob).
+    rows (boundary_rows_table — with settle lanes when settle_on);
+    params: params_array_ext (with the dvm tail when behavior == 3).
+    x/y/z/dob f32 and status int32 are Hilbert-sorted, length a
+    multiple of p_block.  ``behavior`` in {1, 2, 3} runs the in-kernel
+    swimming behaviors (``beh`` dict: pediage, swimstart, swimslow,
+    swimfast, Kp, thresh; rngk must carry the BEHAVE/MORTALITY pairs —
+    rng_keys_array(behave=True)); settle_on needs ``beh['pediage']``
+    and spols (settle_poly ids, -1 unset).
+    Returns (x, y, z, status, settle_poly, hit_land, hit_bottom, oob).
     """
     from . import gather_interp as gi
     from .. import packed as pk
@@ -756,7 +977,8 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
                             vturb_aks=vturb_on and with_aks,
                             window=window, fast_math=fast_math,
                             sink_on=sink_on, mortality=mortality,
-                            ladder=ladder)
+                            ladder=ladder, behavior=behavior, beh=beh,
+                            settle_on=settle_on)
 
     fshape = jax.ShapeDtypeStruct((B, PS, 128), jnp.float32)
     ishape = jax.ShapeDtypeStruct((B, PS, 128), jnp.int32)
@@ -774,11 +996,12 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
             pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),             # rtab (HBM)
             pl.BlockSpec(memory_space=pl.ANY),             # brows
         ],
         out_specs=[pl.BlockSpec((1, PS, 128), blk,
-                                memory_space=pltpu.VMEM)] * 7,
+                                memory_space=pltpu.VMEM)] * 8,
         scratch_shapes=[
             # double-banked windows: bank i%2 computes step i while the
             # other bank prefetches step i+1 (predictive DMA overlap);
@@ -796,12 +1019,16 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
         rngk = jnp.zeros(4 * n_int, jnp.int32)
     if pids is None:
         pids = jnp.arange(n, dtype=jnp.int32)
-    xo, yo, zo, sto, hitl, hitb, oob = pl.pallas_call(
+    if spols is None:
+        spols = jnp.full(n, -1, jnp.int32)
+    xo, yo, zo, sto, spolo, hitl, hitb, oob = pl.pallas_call(
         kern,
-        out_shape=[fshape, fshape, fshape, ishape, ishape, ishape, ishape],
+        out_shape=[fshape, fshape, fshape, ishape, ishape, ishape, ishape,
+                   ishape],
         grid_spec=grid_spec, interpret=interpret,
     )(params, rngk, rs(x, jnp.float32), rs(y, jnp.float32),
       rs(z, jnp.float32), rs(dob, jnp.float32), rs(status, jnp.int32),
-      rs(pids, jnp.int32), rtab, brows)
+      rs(pids, jnp.int32), rs(spols, jnp.int32), rtab, brows)
     return (xo.reshape(n), yo.reshape(n), zo.reshape(n), sto.reshape(n),
-            hitl.reshape(n), hitb.reshape(n), oob.reshape(n) != 0)
+            spolo.reshape(n), hitl.reshape(n), hitb.reshape(n),
+            oob.reshape(n) != 0)

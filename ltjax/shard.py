@@ -90,7 +90,9 @@ def build_mega_tiled(ctx: StepContext, cfg: Config,
 
     grid, bounds = ctx.grid, ctx.bounds
     H, ny_loc, ntiles = spec.halo, spec.ny_loc, spec.ntiles
-    brows = es.boundary_rows_table(bounds, grid.ny, grid.nx)
+    brows = es.boundary_rows_table(
+        bounds, grid.ny, grid.nx,
+        polys=ctx.polys if cfg.settlementon else None, holes=ctx.holes)
     strips = []
     for t in range(ntiles):
         r0 = t * ny_loc - H

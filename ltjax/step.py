@@ -298,12 +298,14 @@ def mode_flags(ctx: StepContext, cfg: Config):
                   and jax.default_backend() == "tpu")
     # the whole-external-step megakernel covers advection + boundary +
     # turbulence (in-kernel Threefry streams identical to ltjax.rng),
-    # plus behavior type 6 (constant sinking) and mortality; runs with
-    # other behavior types, settlement, or sampling drop to the
-    # per-step kernel (advection fused, the rest XLA)
+    # behaviors 0-3 and 6 (zone-biased walks, DVM, constant sinking),
+    # mortality, and settlement (full-cell fast path + exact-patch
+    # deferral); the salinity-cued behaviors (4/5), TST (7), and
+    # SaltTempOn sampling drop to the per-step kernel (advection
+    # fused, the rest XLA)
     use_mega = (use_kernel
-                and cfg.Behavior in (0, 6)
-                and not cfg.settlementon and not cfg.SaltTempOn)
+                and cfg.Behavior in (0, 1, 2, 3, 6)
+                and not cfg.SaltTempOn)
     return use_fast, use_kernel, use_mega
 
 
@@ -322,7 +324,9 @@ def make_external_step(ctx: StepContext, cfg: Config, base_key):
     if use_mega:
         from .kernels import ext_step as es
         brows = jnp.asarray(es.boundary_rows_table(
-            ctx.bounds, ctx.grid.ny, ctx.grid.nx))
+            ctx.bounds, ctx.grid.ny, ctx.grid.nx,
+            polys=ctx.polys if cfg.settlementon else None,
+            holes=ctx.holes))
         s_max = boundary_s_max(ctx.bounds)
 
     mega_aks = use_mega and cfg.VTurbOn and cfg.readAks
@@ -394,7 +398,8 @@ def make_fused_external_steps(ctx: StepContext, cfg: Config, base_key,
     dt = float(cfg.dt)
     mega_aks = cfg.VTurbOn and cfg.readAks
     brows = jnp.asarray(es.boundary_rows_table(
-        ctx.bounds, grid.ny, grid.nx))
+        ctx.bounds, grid.ny, grid.nx,
+        polys=ctx.polys if cfg.settlementon else None, holes=ctx.holes))
     s_max = boundary_s_max(ctx.bounds)
 
     @jax.jit
@@ -464,20 +469,29 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
     if rtab is None:
         rtab = pk.build_record_tables(
             grid, prec, paired=cfg.kernel_precision == "pair2")
+    beh_swim = cfg.Behavior in (1, 2, 3)
+    settle_on = cfg.settlementon and ctx.polys is not None
+    beh = (dict(pediage=float(cfg.pediage), swimstart=float(cfg.swimstart),
+                swimslow=float(cfg.swimslow), swimfast=float(cfg.swimfast),
+                Kp=float(cfg.Kp), thresh=float(cfg.thresh))
+           if (beh_swim or settle_on) else None)
+    dvm = ((float(cfg.twistart), float(cfg.twiend), float(cfg.Em))
+           if cfg.Behavior == 3 else None)
     if params_static is not None:
         # per-tile static head (sharded megakernel): Y0/BY0 carry the
         # tile's eta origin; only the dynamic tail is built here
         params = es.finish_params(params_static, t0, fields.times, idt,
-                                  n_int)
+                                  n_int, dvm=dvm)
     else:
         params = es.params_array_ext(
             grid, ctx.bounds, cfg.z0, t0, fields.times, idt, n_int,
             const_hturb=(cfg.ConstantHTurb if cfg.HTurbOn else 0.0),
             const_vturb=(cfg.ConstantVTurb if cfg.VTurbOn else 0.0),
             sink=(cfg.sink if cfg.Behavior == 6 else 0.0),
-            deadage=(cfg.deadage if cfg.mortality else float("inf")))
-    rngk = (es.rng_keys_array(base_key, ext_idx, n_int)
-            if (cfg.HTurbOn or cfg.VTurbOn) else None)
+            deadage=(cfg.deadage if cfg.mortality else float("inf")),
+            dvm=dvm)
+    rngk = (es.rng_keys_array(base_key, ext_idx, n_int, behave=beh_swim)
+            if (cfg.HTurbOn or cfg.VTurbOn or beh_swim) else None)
 
     def padded(a, fill=None):
         if pad == 0:
@@ -487,7 +501,7 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
         return jnp.concatenate([a, jnp.broadcast_to(tailv, (pad,))])
 
     # pad slots are NOT_RELEASED with dob=+inf: never activate, never move
-    xo, yo, zo, sto, hitl, hitb, oob = es.ext_step_fused(
+    xo, yo, zo, sto, spolo, hitl, hitb, oob = es.ext_step_fused(
         grid, rtab, brows, params,
         padded(p.x), padded(p.y), padded(p.z),
         padded(p.dob, jnp.inf),
@@ -502,9 +516,12 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
         window=(cfg.kernel_wy, cfg.kernel_wx),
         fast_math=cfg.kernel_fast_math, sfast=cfg.kernel_sfast,
         sink_on=cfg.Behavior == 6, mortality=cfg.mortality,
+        behavior=cfg.Behavior if beh_swim else 0, beh=beh,
+        settle_on=settle_on, spols=padded(p.settle_poly, -1),
         interpret=interpret)
     xo, yo, zo = xo[:n], yo[:n], zo[:n]
     sto, hitl, hitb, oob = sto[:n], hitl[:n], hitb[:n], oob[:n]
+    spolo = spolo[:n]
     if os.environ.get("LTJAX_DEBUG_OOB"):
         jax.debug.print("oob t0={t} n_oob={o}", t=t0, o=jnp.sum(oob))
 
@@ -513,6 +530,7 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
     hit_land = p.hit_land + hitl if cfg.TrackCollisions else p.hit_land
     hit_bottom = p.hit_bottom + hitb if cfg.TrackCollisions else p.hit_bottom
     out = p._replace(x=xo, y=yo, z=zo, age=age, status=sto,
+                     settle_poly=spolo,
                      hit_land=hit_land, hit_bottom=hit_bottom)
 
     # --- exact recompute of out-of-window particles ----------------------
@@ -557,6 +575,7 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
         x=scat(out.x, sub.x), y=scat(out.y, sub.y),
         z=scat(out.z, sub.z), age=scat(out.age, sub.age),
         status=scat(out.status, sub.status),
+        settle_poly=scat(out.settle_poly, sub.settle_poly),
         hit_land=scat(out.hit_land, sub.hit_land),
         hit_bottom=scat(out.hit_bottom, sub.hit_bottom))
     return out._replace(status=jnp.where(overflow, st.ERROR, out.status))

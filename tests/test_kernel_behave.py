@@ -1,0 +1,148 @@
+"""Megakernel behaviors 1-3 + settlement (interpret mode) vs the XLA
+paths (VERDICT r3 next #5: extend the megakernel to behaviors 1-3 and
+the settlement freeze).
+
+Reference: behavior_module.f90 types 1/2 (near-surface / near-bottom
+zone orientation), type 3 (DVM), settlement_module.f90 testSettlement
+(SURVEY.md SS2.1 #8/#9).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import pytest
+
+from ltjax import packed as pk
+from ltjax import spatial
+from ltjax import state as st
+from ltjax import synth
+from ltjax.config import Config
+from ltjax.grid import locate
+from ltjax.kernels import ext_step as es
+from ltjax.physics import boundary as bd
+from ltjax.physics import settlement as stl
+from ltjax.step import StepContext, boundary_s_max, internal_step
+
+
+def _setup(cfg_kw, us=6, t0_day=None):
+    dtype = jnp.float32
+    c = synth.make_solid_body_case(nx=41, ny=41, us=us, lx=100e3,
+                                   ly=100e3, h0=50.0, omega=1e-4,
+                                   dtype=dtype)
+    fs = synth.fieldset_for(c, t_center=900.0, dt=1800.0, dtype=dtype)
+    grid = c.grid
+    bounds = bd.build_boundaries(np.asarray(grid.mask_rho),
+                                 np.asarray(grid.x_rho),
+                                 np.asarray(grid.y_rho))
+    cfg = Config(numpar=256, dt=1800, idt=450, us=us, ws=us + 1,
+                 OpenOceanBoundary=True, dtype_pos="float32",
+                 reflect_iters=2, **cfg_kw)
+    rng_ = np.random.default_rng(11)
+    n = 256
+    p = st.init_particles(rng_.uniform(36e3, 62e3, n),
+                          rng_.uniform(36e3, 62e3, n),
+                          rng_.uniform(-45.0, -2.0, n), dtype=dtype)
+    i, _ = locate(grid.x_rho, p.x, grid.uniform)
+    j, _ = locate(grid.y_rho, p.y, grid.uniform)
+    p, _ = spatial.sort_by_cell(p, i, j)
+    p = p._replace(status=jnp.full(n, st.ACTIVE, jnp.int32))
+    return c, cfg, grid, bounds, fs, p
+
+
+@pytest.mark.parametrize("behavior", [1, 2, 3])
+def test_mega_behavior_swim_parity(behavior):
+    """Megakernel behaviors 1-3 (interpret) vs the records-mode XLA
+    scan: identical BEHAVE/MORTALITY Threefry streams + the same zone
+    logic => per-particle agreement to f32 round-off."""
+    kw = dict(Behavior=behavior, swimstart=0.0, swimslow=1e-3,
+              swimfast=4e-3, pediage=86400.0)
+    c, cfg, grid, bounds, fs, p = _setup(kw)
+    ctx = StepContext(grid=grid, bounds=bounds, polys=None, holes=None)
+    n_int = cfg.internal_steps
+    n = cfg.numpar
+    # t0 chosen mid-morning so the DVM light branch is exercised;
+    # particles released AT t0 (the kernel derives age as t - dob, so a
+    # consistent initial state needs dob == t0 when age starts at 0)
+    t0 = 9.0 * 3600.0
+    p = p._replace(dob=jnp.full(n, t0, jnp.float32),
+                   status=jnp.full(n, st.NOT_RELEASED, jnp.int32))
+
+    prec = pk.build_packed_records(grid, fs)
+    rtab = pk.build_record_tables(grid, prec)
+    brows = jnp.asarray(es.boundary_rows_table(bounds, grid.ny, grid.nx))
+    dvm = ((float(cfg.twistart), float(cfg.twiend), float(cfg.Em))
+           if behavior == 3 else None)
+    params = es.params_array_ext(grid, bounds, cfg.z0, t0, fs.times,
+                                 float(cfg.idt), n_int, dvm=dvm)
+    beh = dict(pediage=float(cfg.pediage), swimstart=float(cfg.swimstart),
+               swimslow=float(cfg.swimslow), swimfast=float(cfg.swimfast),
+               Kp=float(cfg.Kp), thresh=float(cfg.thresh))
+    rngk = es.rng_keys_array(jr.key(0), 0, n_int, behave=True)
+    xo, yo, zo, sto, spolo, hitl, hitb, oob = es.ext_step_fused(
+        grid, rtab, brows, params, p.x, p.y, p.z, p.dob, p.status,
+        0.0, n_int, float(cfg.idt), n_iter=2, p_block=256,
+        s_max=boundary_s_max(bounds), open_exits=True,
+        pids=p.pid, rngk=rngk, behavior=behavior, beh=beh,
+        interpret=True)
+
+    rft = pk.build_records_flat(grid, prec)
+    pp = p
+    for ii in range(n_int):
+        pp = internal_step(ctx, cfg, jr.key(0), pp, fs,
+                           t0 + ii * float(cfg.idt), ii, rft,
+                           mode="records")
+    ok = ~np.asarray(oob)
+    assert ok.sum() > 0.9 * n
+    # the behavior must actually displace particles vertically
+    assert float(np.abs(np.asarray(zo) - np.asarray(p.z)).max()) > 0.01
+    np.testing.assert_allclose(np.asarray(zo)[ok], np.asarray(pp.z)[ok],
+                               rtol=0, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(xo)[ok], np.asarray(pp.x)[ok],
+                               rtol=0, atol=0.5)
+    np.testing.assert_allclose(np.asarray(yo)[ok], np.asarray(pp.y)[ok],
+                               rtol=0, atol=0.5)
+    assert np.array_equal(np.asarray(sto)[ok], np.asarray(pp.status)[ok])
+
+
+def test_mega_settlement_matches_xla():
+    """Megakernel settlement (full-cell fast path + partial-cell defer
+    through the exact patch) vs the XLA scan: statuses and polygon ids
+    must agree for EVERY particle (the step-level driver resolves the
+    deferred ones exactly)."""
+    from ltjax.step import make_fused_external_steps
+
+    kw = dict(settlementon=True, pediage=0.0)
+    c, cfg, grid, bounds, fs, p = _setup(kw)
+    # habitat: a 10x10 km square (16 cells, interior fully-inside
+    # cells + rim partial cells) + a hole in its middle
+    poly = [(101, np.asarray([[45e3, 45e3], [55e3, 45e3],
+                              [55e3, 55e3], [45e3, 55e3]]))]
+    hole = [(1, np.asarray([[49e3, 49e3], [51e3, 49e3],
+                            [51e3, 51e3], [49e3, 51e3]]))]
+    polys = stl.build_polygons(poly, np.asarray(bounds.x_edges),
+                               np.asarray(bounds.y_edges))
+    holes = stl.build_polygons(hole, np.asarray(bounds.x_edges),
+                               np.asarray(bounds.y_edges))
+    ctx = StepContext(grid=grid, bounds=bounds, polys=polys, holes=holes)
+
+    fused = make_fused_external_steps(ctx, cfg, jr.key(0), 1,
+                                      interpret=True)
+    fsR = synth.fieldset_window(c, -900.0, 1800.0, 3, dtype=jnp.float32)
+    out = fused(p, fsR, 0.0, 0)
+
+    pp = p
+    prec = pk.build_packed_records(grid, fs)
+    for ii in range(cfg.internal_steps):
+        pp = internal_step(ctx, cfg, jr.key(0), pp, fs,
+                           ii * float(cfg.idt), ii, prec,
+                           mode="collapsed")
+
+    n_settled = int(np.sum(np.asarray(out.status) == st.SETTLED))
+    assert n_settled > 5, n_settled          # test must not be vacuous
+    assert np.array_equal(np.asarray(out.status), np.asarray(pp.status))
+    assert np.array_equal(np.asarray(out.settle_poly),
+                          np.asarray(pp.settle_poly))
+    ok = np.asarray(pp.status) == st.ACTIVE
+    np.testing.assert_allclose(np.asarray(out.x)[ok],
+                               np.asarray(pp.x)[ok], rtol=0, atol=0.5)
