@@ -148,7 +148,11 @@ class Config:
                                   #   engages on TPU with f32 positions on
                                   #   a uniform grid, else falls back to
                                   #   the packed path
-    kernel_block: int = 2048      # particles per fused-kernel block
+    kernel_block: int = 1024      # particles per fused-kernel block
+                                  #   (matched to the 16x8 window: a
+                                  #   1024-block covers ~41 cells at
+                                  #   bench density — bbox ~4.5x9 under
+                                  #   the aspect-matched Hilbert sort)
     kernel_precision: str = "pair2"  # MXU one-hot blend scheme/precision:
                                   #   "pair2" = pair-packed rows +
                                   #   bf16-exact row weights, 2 passes,
@@ -161,9 +165,14 @@ class Config:
                                   #   rel; fast but weight sums lose
                                   #   exactness)
     kernel_wy: int = 16           # fused-kernel VMEM window cells (eta)
-    kernel_wx: int = 16           # fused-kernel VMEM window cells (xi);
-                                  #   wy*wx <= 128 halves the one-hot
-                                  #   blend matmul passes vs 16x16
+    kernel_wx: int = 8            # fused-kernel VMEM window cells (xi);
+                                  #   wy*wx = 128 halves the one-hot
+                                  #   blend matmul passes vs 16x16 (the
+                                  #   dominant MXU cost); the Hilbert
+                                  #   sort coarsens eta by wy//wx so
+                                  #   blocks fit the window (measured
+                                  #   0.9% window misses at 1M vs 9.6%
+                                  #   with square-sorted blocks)
     kernel_fast_math: bool = True # kernel divides via approx-reciprocal
                                   #   + 2 Newton steps (~1-2 ulp of an
                                   #   exact f32 divide)
