@@ -632,6 +632,74 @@ def stage_value_tables(grid: Grid, rec: PackedRecords, t, idt: float):
             collapse_stage_values(grid, rec, tt + jnp.asarray(idt, tdt)))
 
 
+class ValueTablesAll(NamedTuple):
+    """ALL stage-value tables of one external step, stacked.
+
+    Stage times are t0 + (idt/2)*k for k = 0 .. 2*n_int (consecutive
+    internal steps share their boundary time, so S = 2*n_int + 1
+    distinct tables instead of 3*n_int).  Built ONCE per external step
+    so the megakernel's exact-recompute patch does NO grid-sized work
+    inside its internal-step scan — the per-step table builds were
+    ~2/3 of the patch cost (measured 52.6 -> ~25 ms per external step
+    at 1M particles / cap 15.6k).
+    """
+    full: jax.Array      # (S, Ny, Nx, HL)
+    zh_rows: jax.Array   # (S, Ny*Nx, 8)
+    t0: jax.Array
+    idt: float
+
+
+def stage_value_tables_all(grid: Grid, rec: PackedRecords, t0,
+                           idt: float, n_int: int) -> ValueTablesAll:
+    """Stack collapse_stage_values over every stage time of the
+    external step (one fused linear-combination pass over the records;
+    the downstream per-step consumers dynamic-slice three tables)."""
+    S = 2 * n_int + 1
+    tdt = rec.times.dtype
+    ts = (jnp.asarray(t0, tdt)
+          + jnp.arange(S, dtype=tdt) * jnp.asarray(0.5 * idt, tdt))
+    tt = rec.times
+    t0r, t1r, t2r = tt[0], tt[1], tt[2]
+    l0 = (ts - t1r) * (ts - t2r) / ((t0r - t1r) * (t0r - t2r))
+    l1 = (ts - t0r) * (ts - t2r) / ((t1r - t0r) * (t1r - t2r))
+    l2 = (ts - t0r) * (ts - t1r) / ((t2r - t0r) * (t2r - t1r))
+    coef = jnp.stack([l0, l1, l2], axis=-1).astype(rec.tab.dtype)  # (S,3)
+    vals = jnp.einsum("sr,rcl->scl", coef, rec.tab)      # (S, C, ntot)
+    us, ws = grid.us, grid.ws
+    nv = n_value_lanes(us, ws)
+    ntot = vals.shape[-1]
+    HL = ((ntot + 127) // 128) * 128
+    C = vals.shape[1]
+    vals = jnp.concatenate(
+        [vals, jnp.zeros((S, C, HL - ntot), vals.dtype)], axis=-1)
+    zeta = vals[:, :, nv - 2]
+    h = vals[:, :, nv - 1]
+    zh = jnp.stack([zeta, h, jnp.zeros_like(zeta), jnp.zeros_like(zeta)],
+                   axis=-1)                                 # (S, C, 4)
+    zh_rows = jnp.concatenate([zh, jnp.roll(zh, -1, axis=1)], axis=-1)
+    return ValueTablesAll(
+        full=vals.reshape(S, grid.ny, grid.nx, HL), zh_rows=zh_rows,
+        t0=jnp.asarray(t0, tdt), idt=float(idt))
+
+
+def slice_stage_tables(vt_all: ValueTablesAll, i):
+    """The (t1, t2, t4) ValueTables of internal step ``i`` (traced ok:
+    dynamic slices of the stacked tables — ~60 MB/step of copies vs
+    the ~1 ms/step rebuild they replace)."""
+    k0 = 2 * jnp.asarray(i, jnp.int32)
+
+    def tab(k):
+        full = jax.lax.dynamic_index_in_dim(vt_all.full, k0 + k, 0,
+                                            keepdims=False)
+        zh = jax.lax.dynamic_index_in_dim(vt_all.zh_rows, k0 + k, 0,
+                                          keepdims=False)
+        t = vt_all.t0 + (k0 + k).astype(vt_all.t0.dtype) * jnp.asarray(
+            0.5 * vt_all.idt, vt_all.t0.dtype)
+        return ValueTable(full=full, zh_rows=zh, t=t)
+
+    return tab(0), tab(1), tab(2)
+
+
 def stage_tables(grid: Grid, rec: PackedRecords, t, idt: float,
                  sigma: float):
     """The 3 RK4 stage tables for an internal step starting at t."""

@@ -122,9 +122,14 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
     idt = jnp.asarray(float(cfg.idt), dtype)
     tt = jnp.asarray(t, dtype)
     fast = prec is not None
-    blendfit = mode in ("collapsed", "kernel")
+    blendfit = mode in ("collapsed", "collapsed_tabs", "kernel")
     if fast and mode == "records":
         rft = prec
+    elif fast and mode == "collapsed_tabs":
+        # caller passes the three pre-built stage ValueTables directly
+        # (megakernel patch: packed.slice_stage_tables of the per-ext-
+        # step stack — no grid-sized builds inside the step scan)
+        tabs = prec
     elif fast and blendfit:
         tabs = pk.stage_value_tables(grid, prec, t, float(cfg.idt))
     elif fast:
@@ -148,7 +153,7 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
         dxa, dya, dza = pk.rk4_displacement_records(
             grid, rft, p.x, p.y, p.z, t, cfg.tension_sigma, cfg.z0,
             float(cfg.idt))
-    elif fast and mode == "collapsed":
+    elif fast and mode in ("collapsed", "collapsed_tabs"):
         dxa, dya, dza = pk.rk4_displacement_collapsed(
             grid, tabs, p.x, p.y, p.z, cfg.tension_sigma, cfg.z0,
             float(cfg.idt))
@@ -543,18 +548,34 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
     cap = min(n, max(256, n // cfg.oob_frac))
     # Patch interpolation mode: "records" gathers ~3x the rows per
     # particle (3 raw records per stage) but builds nothing grid-sized;
-    # "collapsed" pays a per-internal-step stage-table build
-    # (O(grid cells x HL) bandwidth) to gather 3x less.  Row gathers run
-    # at a fixed row rate on v5e (BASELINE.md), so collapsed wins once
-    # the capacity is large relative to the grid: measured 71.6 ms ->
-    # ~25 ms per external step at cap 15.6k on the 200x200 bench grid.
+    # "collapsed" pays stage-table builds (O(grid cells x HL)
+    # bandwidth) to gather 3x less.  Row gathers run at a fixed row
+    # rate on v5e (BASELINE.md), so collapsed wins once the capacity is
+    # large relative to the grid.  When the full per-ext-step stage
+    # stack fits comfortably in HBM, build ALL 2*n_int+1 tables ONCE
+    # (stage_value_tables_all) and dynamic-slice per step — the
+    # in-scan builds were ~2/3 of the patch cost (52.6 -> ~25 ms per
+    # external step measured at 1M/cap 15.6k on the 200x200 grid).
     patch_collapsed = cap * 24 > 4 * grid.ny * grid.nx
-    prec_sub = prec if patch_collapsed else pk.build_records_flat(grid, prec)
+    HLv = ((pk.n_value_lanes(grid.us, grid.ws)
+            + (grid.ws if prec.with_aks else 0) + 127) // 128) * 128
+    pre_bytes = (2 * n_int + 1) * grid.ny * grid.nx * HLv * 4
+    patch_pre = patch_collapsed and pre_bytes < 2.5e9
+    if patch_pre:
+        vt_all = pk.stage_value_tables_all(grid, prec, t0, idt, n_int)
+    else:
+        prec_sub = (prec if patch_collapsed
+                    else pk.build_records_flat(grid, prec))
     patch_mode = "collapsed" if patch_collapsed else "records"
 
     def run_subset(pp: st.Particles) -> st.Particles:
         def body(carry, i):
             t = t0 + i * idt
+            if patch_pre:
+                tabs = pk.slice_stage_tables(vt_all, i)
+                return internal_step(ctx, cfg, base_key, carry, fields,
+                                     t, ext_idx * n_int + i, tabs,
+                                     mode="collapsed_tabs"), None
             return internal_step(ctx, cfg, base_key, carry, fields, t,
                                  ext_idx * n_int + i, prec_sub,
                                  mode=patch_mode), None
