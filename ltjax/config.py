@@ -188,6 +188,18 @@ class Config:
                                   #   call on the megakernel path (the
                                   #   field window holds ext_fuse + 2
                                   #   records); 1 = classic triple buffer
+    ext_sort_every: int = 2       # Hilbert re-sort cadence inside a
+                                  #   fused call [external steps].  The
+                                  #   row-packed sort costs ~15 ms at 1M;
+                                  #   blocks stay coherent over several
+                                  #   steps (bulk drift is tracked by the
+                                  #   kernel's window origins; turbulence
+                                  #   spreads a block < 0.1 cell per ext
+                                  #   step), so every-2 measures the same
+                                  #   window-miss rate as every-1 on the
+                                  #   bench flow.  Strongly sheared flows
+                                  #   can set 1; misses are never silent
+                                  #   (exact patch -> ERROR on overflow)
     oob_frac: int = 64            # exact-recompute capacity for window
                                   #   misses = numpar // oob_frac
                                   #   (steady-state miss rate ~1.05% on

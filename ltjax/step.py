@@ -415,19 +415,27 @@ def make_fused_external_steps(ctx: StepContext, cfg: Config, base_key,
 
         def body(carry, e):
             pp, cum = carry
-            # Hilbert re-sort EVERY external step (composing the
-            # permutation): blocks disperse over one external step
-            # (vertical shear spreads a block's particles moving at
-            # different depths), and without a per-step re-sort the
-            # window-miss population grows ~linearly with the number of
-            # fused steps — measured 15k misses after 4 fused steps at
-            # 1M (vs <10k per single step), overflowing the exact-patch
-            # capacity.  The row-packed sort costs ~10 ms (~3%).
-            ci, _ = locate(grid.x_rho, pp.x, grid.uniform)
-            cj, _ = locate(grid.y_rho, pp.y, grid.uniform)
-            pp, perm = sp.sort_by_cell(
-                pp, ci, cj, aspect_y=max(1, cfg.kernel_wy // cfg.kernel_wx))
-            cum = cum[perm]
+
+            # Hilbert re-sort every cfg.ext_sort_every external steps
+            # (composing the permutation).  Blocks stay coherent over a
+            # few steps — bulk drift is tracked by the kernel's window
+            # origins and turbulence spreads a block < 0.1 cell per ext
+            # step — so a sparser cadence trades no measured miss-rate
+            # increase for ~15 ms/step of sort cost at 1M; any spread
+            # a config DOES develop lands in the exact patch (and, on
+            # overflow, in visible ERROR counts), never in silent error.
+            def do_sort(args):
+                pp, cum = args
+                ci, _ = locate(grid.x_rho, pp.x, grid.uniform)
+                cj, _ = locate(grid.y_rho, pp.y, grid.uniform)
+                ps, perm = sp.sort_by_cell(
+                    pp, ci, cj,
+                    aspect_y=max(1, cfg.kernel_wy // cfg.kernel_wx))
+                return ps, cum[perm]
+
+            se = max(1, cfg.ext_sort_every)
+            pp, cum = jax.lax.cond((e % se) == 0, do_sort,
+                                   lambda a: a, (pp, cum))
             tab3 = jax.lax.dynamic_slice_in_dim(prec_all.tab, e, 3, 0)
             times3 = jax.lax.dynamic_slice_in_dim(fsR.times, e, 3, 0)
             prec3 = pk.PackedRecords(tab=tab3, times=times3,
