@@ -315,7 +315,7 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                      fast_math: bool = False,
                      sink_on: bool = False, mortality: bool = False,
                      ladder=None, behavior: int = 0, beh=None,
-                     settle_on: bool = False):
+                     settle_on: bool = False, align_x8: bool = False):
     P = p_block
     PS = P // 128
     wy, wx = window
@@ -526,6 +526,18 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
         hitb = jnp.zeros((PS, 128), jnp.int32)
         oob = jnp.zeros((PS, 128), jnp.bool_)
 
+        def _ox_from(im_val):
+            ox = jnp.floor(im_val).astype(jnp.int32) - wx // 2
+            if align_x8:
+                # HL > 128 record tables carry 2 lane-tiles per cell;
+                # Mosaic then requires the x (sublane-tiled) slice
+                # origin to be 8-aligned — round to the nearest aligned
+                # origin (callers widen wx so the ±4-cell offset never
+                # costs window margin)
+                ox = ((ox + 4) // 8) * 8
+                return jnp.clip(ox, 0, max(((nx - wx) // 8) * 8, 0))
+            return jnp.clip(ox, 0, max(nx - wx, 0))
+
         def origin(xv, yv, oob):
             """Window origin + fractional mean of in-window particles
             (a lone discontinuity straggler barely moves the mean, gets
@@ -537,8 +549,7 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
             ty = (yv - par_ref[_IDX_Y0]) * par_ref[_IDX_INVDY]
             im = jnp.sum(jnp.clip(tx, 0.0, float(nx - 1)) * w) / cnt
             jm = jnp.sum(jnp.clip(ty, 0.0, float(ny - 1)) * w) / cnt
-            ox = jnp.clip(jnp.floor(im).astype(jnp.int32) - wx // 2, 0,
-                          max(nx - wx, 0))
+            ox = _ox_from(im)
             oy = jnp.clip(jnp.floor(jm).astype(jnp.int32) - wy // 2, 0,
                           max(ny - wy, 0))
             return oy, ox, im, jm
@@ -548,8 +559,7 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
             step's window origin (same floor/clip as origin())."""
             ip = im + (im - im_prev)
             jp = jm + (jm - jm_prev)
-            ox = jnp.clip(jnp.floor(ip).astype(jnp.int32) - wx // 2, 0,
-                          max(nx - wx, 0))
+            ox = _ox_from(ip)
             oy = jnp.clip(jnp.floor(jp).astype(jnp.int32) - wy // 2, 0,
                           max(ny - wy, 0))
             return oy, ox
@@ -968,6 +978,12 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
     # packed layout (nv core lanes + optional ws aks lanes)
     ntot = nv + (grid.ws if with_aks else 0)
     wy, wx = window
+    align_x8 = HL > 128
+    if align_x8 and wx < 16:
+        # 8-aligned x origins (see _ox_from) cost up to 4 cells of
+        # centering; a 16-wide window keeps the effective margin
+        wx = 16
+        window = (wy, wx)
     from ..grid import affine_ladders
     ladder = affine_ladders(grid) if sfast else None
     kern = _make_ext_kernel(grid, float(sigma), float(idt), nv, ntot,
@@ -978,7 +994,7 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
                             window=window, fast_math=fast_math,
                             sink_on=sink_on, mortality=mortality,
                             ladder=ladder, behavior=behavior, beh=beh,
-                            settle_on=settle_on)
+                            settle_on=settle_on, align_x8=align_x8)
 
     fshape = jax.ShapeDtypeStruct((B, PS, 128), jnp.float32)
     ishape = jax.ShapeDtypeStruct((B, PS, 128), jnp.int32)
