@@ -144,10 +144,15 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
     # --- advection ------------------------------------------------------
     adv_err = jnp.zeros(p.n, bool)
     if fast and mode == "kernel":
+        # the per-step kernel's stage tables are NOT pair-packed, so
+        # bilinear stencils need li+1 in-window (one usable column
+        # fewer than the megakernel's pair2 windows) — keep its window
+        # at least 16 cells wide or an 8-wide window leaves ~1-cell
+        # margins and floods the overflow patch
         dxa, dya, dza, adv_err = _rk4_fused_padded(
             grid, tabs, p.x, p.y, p.z, cfg.tension_sigma, cfg.z0,
             float(cfg.idt), cfg.kernel_block, _per_step_precision(cfg),
-            window=(cfg.kernel_wy, cfg.kernel_wx),
+            window=(cfg.kernel_wy, max(cfg.kernel_wx, 16)),
             fast_math=cfg.kernel_fast_math, sfast=cfg.kernel_sfast)
     elif fast and mode == "records":
         dxa, dya, dza = pk.rk4_displacement_records(
