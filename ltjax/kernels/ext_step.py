@@ -533,9 +533,11 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                 # Mosaic then requires the x (sublane-tiled) slice
                 # origin to be 8-aligned — round to the nearest aligned
                 # origin (callers widen wx so the ±4-cell offset never
-                # costs window margin)
-                ox = ((ox + 4) // 8) * 8
-                return jnp.clip(ox, 0, max(((nx - wx) // 8) * 8, 0))
+                # costs window margin).  pl.multiple_of carries the
+                # alignment fact to the compiler (its divisibility
+                # analysis does not see through clip/floordiv chains).
+                k = jnp.clip((ox + 4) // 8, 0, max((nx - wx) // 8, 0))
+                return pl.multiple_of(k * 8, 8)
             return jnp.clip(ox, 0, max(nx - wx, 0))
 
         def origin(xv, yv, oob):
