@@ -489,6 +489,10 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
         # step at 1M particles; transfer time is ~0.2 ms of that — the
         # rest was per-copy latency, which this scheme hides).
         def dma_objs(bank, oy, ox):
+            if align_x8:
+                # the 8-alignment fact (_ox_from) does not survive the
+                # fori-loop carry — re-assert it at the slice site
+                ox = pl.multiple_of(ox, 8)
             # ONE strided copy fetches all 3 record windows (the record
             # axis is just another slice dim): DMA cost on v5e is
             # dominated by per-copy issue overhead, not bytes, so 2
