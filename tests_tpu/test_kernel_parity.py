@@ -24,13 +24,15 @@ from ltjax.step import boundary_s_max, internal_step
 
 @pytest.fixture(scope="module")
 def setup():
-    # 488 * 2048: ext_step_fused takes whole blocks (the production
-    # caller pads; this suite calls the kernel directly)
+    # 976 * 1024: ext_step_fused takes whole blocks (the production
+    # caller pads; this suite calls the kernel directly); production
+    # aspect-matched sort
     cfg, ctx, fs, p = build(numpar=999_424)
     grid = ctx.grid
     ci, _ = locate(grid.x_rho, p.x, grid.uniform)
     cj, _ = locate(grid.y_rho, p.y, grid.uniform)
-    ps, _ = sp.sort_by_cell(p, ci, cj)
+    ps, _ = sp.sort_by_cell(p, ci, cj,
+                            aspect_y=max(1, cfg.kernel_wy // cfg.kernel_wx))
     return cfg, ctx, fs, jax.block_until_ready(ps)
 
 
@@ -57,7 +59,8 @@ def test_ext_step_pair2_on_chip_matches_records_scan(setup):
             ps.status, cfg.tension_sigma, n_int, idt,
             n_iter=cfg.reflect_iters, p_block=cfg.kernel_block,
             s_max=boundary_s_max(ctx.bounds), precision="pair2",
-            open_exits=cfg.OpenOceanBoundary))
+            open_exits=cfg.OpenOceanBoundary,
+            window=(cfg.kernel_wy, cfg.kernel_wx)))
 
     # XLA mirror on a random in-window subset (full 1M x 30-step scan
     # is wasteful; 8192 particles pin the numerics)
@@ -83,5 +86,66 @@ def test_ext_step_pair2_on_chip_matches_records_scan(setup):
     assert dz.max() < 0.05, dz.max()
     assert np.array_equal(np.asarray(sto)[idx], np.asarray(ref.status))
     # window-miss rate must stay inside the exact-patch capacity
+    oob_rate = float(np.asarray(oob).mean())
+    assert oob_rate < 1.0 / cfg.oob_frac, oob_rate
+
+
+def test_ext_step_turb_on_chip_matches_records_scan():
+    """Turbulent megakernel (Visser on Aks lanes: HL=256 tables with
+    8-aligned window DMA origins) on the real chip vs the records-mode
+    XLA scan — pins the Mosaic lowering that round 4 fixed (the aks
+    tables previously failed 'tile index divisible by 8')."""
+    import jax.random as jr
+
+    cfg, ctx, fs, p = build(numpar=999_424, variant="turb")
+    grid = ctx.grid
+    n_int = cfg.internal_steps
+    idt = float(cfg.idt)
+    ci, _ = locate(grid.x_rho, p.x, grid.uniform)
+    cj, _ = locate(grid.y_rho, p.y, grid.uniform)
+    ps, _ = sp.sort_by_cell(p, ci, cj,
+                            aspect_y=max(1, cfg.kernel_wy // cfg.kernel_wx))
+    ps = jax.block_until_ready(ps)
+
+    prec = pk.build_packed_records(grid, fs, with_aks=True)
+    rtab = pk.build_record_tables(grid, prec, paired=True)
+    brows = jnp.asarray(es.boundary_rows_table(ctx.bounds, grid.ny,
+                                               grid.nx))
+    params = es.params_array_ext(
+        grid, ctx.bounds, cfg.z0, 0.0, fs.times, idt, n_int,
+        const_hturb=cfg.ConstantHTurb)
+    key = jr.key(cfg.seed)
+    rngk = es.rng_keys_array(key, 0, n_int)
+    xo, yo, zo, sto, spolo, hitl, hitb, oob = jax.block_until_ready(
+        es.ext_step_fused(
+            grid, rtab, brows, params, ps.x, ps.y, ps.z, ps.dob,
+            ps.status, cfg.tension_sigma, n_int, idt,
+            n_iter=cfg.reflect_iters, p_block=cfg.kernel_block,
+            s_max=boundary_s_max(ctx.bounds), precision="pair2",
+            open_exits=cfg.OpenOceanBoundary, pids=ps.pid, rngk=rngk,
+            hturb_on=True, vturb_on=True, with_aks=True,
+            window=(cfg.kernel_wy, cfg.kernel_wx)))
+
+    rng = np.random.default_rng(0)
+    ok = ~np.asarray(oob)
+    idx = rng.choice(np.nonzero(ok)[0], 8192, replace=False)
+    sub = jax.tree.map(lambda a: a[idx], ps)
+    rft = pk.build_records_flat(grid, prec)
+
+    @jax.jit
+    def scan(pp):
+        def body(c, i):
+            return internal_step(ctx, cfg, key, c, fs, i * idt, i,
+                                 rft, mode="records"), None
+        return jax.lax.scan(body, pp, jnp.arange(n_int))[0]
+
+    ref = jax.block_until_ready(scan(sub))
+    dx = np.abs(np.asarray(xo)[idx] - np.asarray(ref.x))
+    dy = np.abs(np.asarray(yo)[idx] - np.asarray(ref.y))
+    dz = np.abs(np.asarray(zo)[idx] - np.asarray(ref.z))
+    # identical Threefry streams; differences are blend rounding only
+    assert dx.max() < 3.0, dx.max()
+    assert dy.max() < 3.0, dy.max()
+    assert dz.max() < 0.1, dz.max()
     oob_rate = float(np.asarray(oob).mean())
     assert oob_rate < 1.0 / cfg.oob_frac, oob_rate
