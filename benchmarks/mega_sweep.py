@@ -85,7 +85,7 @@ def run_combo(wy, wx, pb, precision, fast_math, sfast=True, reps=5):
             padded(ps.dob, jnp.inf), padded(ps.status, st.NOT_RELEASED),
             padded(ps.pid, -1))
     out = jax.block_until_ready(f(*args))
-    oob_frac = float(np.asarray(out[7][:N]).mean())
+    oob_frac = float(np.asarray(out[9][:N]).mean())
     t0 = time.perf_counter()
     for _ in range(reps):
         out = f(*args)

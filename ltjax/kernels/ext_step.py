@@ -315,7 +315,8 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                      fast_math: bool = False,
                      sink_on: bool = False, mortality: bool = False,
                      ladder=None, behavior: int = 0, beh=None,
-                     settle_on: bool = False, align_x8: bool = False):
+                     settle_on: bool = False, align_x8: bool = False,
+                     salt_on: bool = False, salt0: int = 0):
     P = p_block
     PS = P // 128
     wy, wx = window
@@ -327,8 +328,16 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                                  window=window, fast_math=fast_math,
                                  ntot=ntot, ladder=ladder)
     CW_k = const_ladder(ladder[1], sigma) if ladder is not None else None
-    beh_swim = behavior in (1, 2, 3)   # in-kernel swimming behaviors
+    beh_swim = behavior in (1, 2, 3, 4, 5)  # in-kernel swim behaviors
+    beh_salt = behavior in (4, 5)      # salinity-cued (needs dS/dz)
     rng_stride = 8 if beh_swim else 4  # words per step in rngk
+    us_ = grid.us
+    if beh_salt or salt_on:
+        # in-kernel salt paths are gated to pair2 + affine ladders by
+        # the caller (ext_step_fused); the constant rho ladder carries
+        # the salt/temp spline fits
+        assert pair2 and ladder is not None
+    CR_k = const_ladder(ladder[0], sigma) if ladder is not None else None
     coef0 = _head_len(grid.us, grid.ws)
     ir0 = coef0 + 9 * n_int            # per-step E0 tail (behavior 3)
     gs, c_off, c_diag = _gs_fns(sigma)
@@ -466,9 +475,9 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
         return x1, y1, exited, stuck, hitl, oob
 
     def kernel(par_ref, rngk_ref, x_ref, y_ref, z_ref, dob_ref, st_ref,
-               pid_ref, spol_ref, tab_hbm, brows_hbm,
-               xo_ref, yo_ref, zo_ref, sto_ref, spolo_ref, hitl_ref,
-               hitb_ref, oob_ref,
+               pid_ref, spol_ref, sal_ref, tem_ref, tab_hbm, brows_hbm,
+               xo_ref, yo_ref, zo_ref, sto_ref, spolo_ref, salo_ref,
+               temo_ref, hitl_ref, hitb_ref, oob_ref,
                wtab, wbd, sems):
         b = pl.program_id(0)
         idtc = jnp.float32(idt)
@@ -526,6 +535,8 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
         dob = dob_ref[0]
         st = st_ref[0]
         spol = spol_ref[0]
+        sal = sal_ref[0]
+        tem = tem_ref[0]
         hitl = jnp.zeros((PS, 128), jnp.int32)
         hitb = jnp.zeros((PS, 128), jnp.int32)
         oob = jnp.zeros((PS, 128), jnp.bool_)
@@ -594,7 +605,7 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
             def compute(carry):
                 # oob rides as int32: Mosaic cannot legalize i1-vector loop
                 # carries (scf.for legalization failure, observed on v5e)
-                (xv, yv, zv, st, spol, hitl, hitb, oobi,
+                (xv, yv, zv, st, spol, sal, tem, hitl, hitb, oobi,
                  poy, pox, im_prev, jm_prev) = carry
                 oob = oobi != 0
                 oy, ox, im, jm = origin(xv, yv, oob)
@@ -661,7 +672,7 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                             + par_ref[c + 2] * wfv.reshape(wc, HL)[:, :HLc])
 
                 w1 = win_at(0)
-                if vturb_aks or beh_swim:
+                if vturb_aks or beh_swim or salt_on:
                     u1, v1, ww1, oob1, aux1 = stage_eval(
                         par_ref, oy_f, ox_f, w1, xv, yv, zv, oob, extras=True)
                 else:
@@ -765,17 +776,17 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                     r_dir = _rng.bits_to_uniform(bb0, jnp.float32)
                     r_mix = _rng.bits_to_symmetric(mb0, jnp.float32)
                     rnd_dz = r_mix * wsw * idtc
+                    up_dz = jnp.where(r_dir < P_BIAS, 1.0, -1.0) * (
+                        wsw * idtc)
+                    down_dz = jnp.where(r_dir < P_BIAS, -1.0, 1.0) * (
+                        wsw * idtc)
                     if behavior == 1:
                         below_zone = zv < (zeta_b - SURFACE_ZONE)
-                        sgn = jnp.where(r_dir < P_BIAS, 1.0, -1.0)
-                        dzb = jnp.where(below_zone, sgn * wsw * idtc,
-                                        rnd_dz)
+                        dzb = jnp.where(below_zone, up_dz, rnd_dz)
                     elif behavior == 2:
                         above_zone = zv > (-h_b + BOTTOM_ZONE)
-                        sgn = jnp.where(r_dir < P_BIAS, -1.0, 1.0)
-                        dzb = jnp.where(above_zone, sgn * wsw * idtc,
-                                        rnd_dz)
-                    else:
+                        dzb = jnp.where(above_zone, down_dz, rnd_dz)
+                    elif behavior == 3:
                         e0 = par_ref[ir0 + i]
                         light = e0 * jnp.exp(
                             -jnp.float32(beh["Kp"])
@@ -784,6 +795,26 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                                         -wsw * idtc,
                                         jnp.where(e0 > 0.0, wsw * idtc,
                                                   rnd_dz))
+                    else:
+                        # behaviors 4/5: salinity-gradient cue (mirrors
+                        # physics.behavior; dS/dz via the constant-
+                        # ladder spline derivative on the salt lanes)
+                        _, sq1, binv1 = aux1
+                        prof_s = [bl1v[salt0 + k] for k in range(us_)]
+                        z2sl = _fit_thomas_const_multi([prof_s], CR_k)[0]
+                        dsdz = _eval_spline_deriv_const(
+                            sq1, CR_k, prof_s, z2sl, ds) * binv1
+                        cue = jnp.abs(dsdz) >= jnp.float32(
+                            beh["Sgradient"])
+                        veliger = jnp.where(cue, up_dz, rnd_dz)
+                        dzb = jnp.where(age_pre >= beh["pediage"],
+                                        down_dz, veliger)
+                        if behavior == 5:
+                            dzb = jnp.where(
+                                age_pre < beh["pediage"],
+                                jnp.where(cue, up_dz,
+                                          up_dz * 0.5 + rnd_dz * 0.5),
+                                dzb)
                     z1 = z1 + dzb
 
                 # horizontal boundary reflection (skipped when the window
@@ -838,12 +869,23 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                 if pair2:
                     fy_q = jnp.round(fy * 256.0) * jnp.float32(1.0 / 256.0)
                     wtp = make_rowpair_onehot(li, lj, fy_q, P, wy, wx)
-                    zh4 = pair_dot(jnp.concatenate(
-                        [w4[:, nv - 2:nv],
-                         w4[:, ntot + nv - 2:ntot + nv]], axis=1), wtp)
-                    z4 = zh4.reshape(4, PS, 128)
-                    zeta_p = z4[0] + fx * (z4[2] - z4[0])
-                    h_p = z4[1] + fx * (z4[3] - z4[1])
+                    lanes = [w4[:, nv - 2:nv]]
+                    if salt_on:
+                        lanes.append(w4[:, salt0:salt0 + 2 * us_])
+                    lanes.append(w4[:, ntot + nv - 2:ntot + nv])
+                    if salt_on:
+                        lanes.append(
+                            w4[:, ntot + salt0:ntot + salt0 + 2 * us_])
+                    nl = 2 + (2 * us_ if salt_on else 0)
+                    zh4 = pair_dot(jnp.concatenate(lanes, axis=1), wtp)
+                    z4 = zh4.reshape(2 * nl, PS, 128)
+                    zeta_p = z4[0] + fx * (z4[nl] - z4[0])
+                    h_p = z4[1] + fx * (z4[nl + 1] - z4[1])
+                    if salt_on:
+                        # salt+temp profiles at the post-reflect column
+                        stp = [z4[2 + k] + fx * (z4[nl + 2 + k]
+                                                 - z4[2 + k])
+                               for k in range(2 * us_)]
                 else:
                     wt = make_bilinear_onehot(li, lj, fx, fy, P, wy, wx)
                     zh = zh_dot(w4[:, nv - 2:nv], wt)         # (2, P)
@@ -856,6 +898,21 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                 z2r = jnp.where(below, -2.0 * h_p - z1r, z1r)
                 zr = jnp.clip(z2r, -h_p, zeta_p)
                 hitb = hitb + jnp.where(act & below, 1, 0)
+
+                if salt_on:
+                    # SaltTempOn: sample salt/temp at the new position
+                    # at t+idt (the w4 stage window), constant-ladder
+                    # spline on the blended profiles — mirrors
+                    # internal_step's sample_scalar to the collapsed
+                    # scheme's rounding
+                    sqs = (zr - zeta_p) / (zeta_p + h_p)
+                    z2sa, z2te = _fit_thomas_const_multi(
+                        [stp[:us_], stp[us_:]], CR_k)
+                    s_smp, t_smp = _eval_spline_const_multi(
+                        sqs, CR_k, [stp[:us_], stp[us_:]],
+                        [z2sa, z2te], gs)
+                    sal = jnp.where(act, s_smp, sal)
+                    tem = jnp.where(act, t_smp, tem)
 
                 # apply updates under masks (matches ltjax.step.internal_step)
                 xv = jnp.where(act, xr, xv)
@@ -908,23 +965,25 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                     spol = jnp.where(settles & (spol < 0),
                                      s_pid.astype(jnp.int32), spol)
                     oob = oob | (base_el & (s_state > 1.5))
-                return (xv, yv, zv, st, spol, hitl, hitb,
+                return (xv, yv, zv, st, spol, sal, tem, hitl, hitb,
                         oob.astype(jnp.int32), npy, npx, im, jm)
 
             return jax.lax.cond(live_any, compute,
                                 lambda c: c, carry)
 
-        (xv, yv, zv, st, spol, hitl, hitb, oobi,
+        (xv, yv, zv, st, spol, sal, tem, hitl, hitb, oobi,
          _, _, _, _) = jax.lax.fori_loop(
             0, n_int, body,
-            (xv, yv, zv, st, spol, hitl, hitb, oob.astype(jnp.int32),
-             oy0, ox0, im0, jm0))
+            (xv, yv, zv, st, spol, sal, tem, hitl, hitb,
+             oob.astype(jnp.int32), oy0, ox0, im0, jm0))
         oob = oobi != 0
         xo_ref[0] = xv
         yo_ref[0] = yv
         zo_ref[0] = zv
         sto_ref[0] = st
         spolo_ref[0] = spol
+        salo_ref[0] = sal
+        temo_ref[0] = tem
         hitl_ref[0] = hitl
         hitb_ref[0] = hitb
         oob_ref[0] = oob.astype(jnp.int32)
@@ -946,6 +1005,8 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
                    sfast: bool = True,
                    behavior: int = 0, beh=None, settle_on: bool = False,
                    spols=None,
+                   salt_on: bool = False, with_scalars: bool = False,
+                   salts=None, temps=None,
                    interpret: bool = False):
     """Run one full external step in-kernel.
 
@@ -982,7 +1043,9 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
     # 128 and blows the 1 MB SMEM budget at 10M particles)
     # true data-lane count: rtab lanes are 128-padded; recover from the
     # packed layout (nv core lanes + optional ws aks lanes)
-    ntot = nv + (grid.ws if with_aks else 0)
+    ntot = (nv + (grid.ws if with_aks else 0)
+            + (2 * grid.us if with_scalars else 0))
+    salt0 = nv + (grid.ws if with_aks else 0)
     wy, wx = window
     align_x8 = HL > 128
     if align_x8 and wx < 16:
@@ -1000,7 +1063,8 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
                             window=window, fast_math=fast_math,
                             sink_on=sink_on, mortality=mortality,
                             ladder=ladder, behavior=behavior, beh=beh,
-                            settle_on=settle_on, align_x8=align_x8)
+                            settle_on=settle_on, align_x8=align_x8,
+                            salt_on=salt_on, salt0=salt0)
 
     fshape = jax.ShapeDtypeStruct((B, PS, 128), jnp.float32)
     ishape = jax.ShapeDtypeStruct((B, PS, 128), jnp.int32)
@@ -1012,18 +1076,13 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
         num_scalar_prefetch=2,                          # params, rngk
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM)
+        ] * 9 + [
             pl.BlockSpec(memory_space=pl.ANY),             # rtab (HBM)
             pl.BlockSpec(memory_space=pl.ANY),             # brows
         ],
         out_specs=[pl.BlockSpec((1, PS, 128), blk,
-                                memory_space=pltpu.VMEM)] * 8,
+                                memory_space=pltpu.VMEM)] * 10,
         scratch_shapes=[
             # double-banked windows: bank i%2 computes step i while the
             # other bank prefetches step i+1 (predictive DMA overlap);
@@ -1043,14 +1102,20 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
         pids = jnp.arange(n, dtype=jnp.int32)
     if spols is None:
         spols = jnp.full(n, -1, jnp.int32)
-    xo, yo, zo, sto, spolo, hitl, hitb, oob = pl.pallas_call(
+    if salts is None:
+        salts = jnp.zeros(n, jnp.float32)
+    if temps is None:
+        temps = jnp.zeros(n, jnp.float32)
+    (xo, yo, zo, sto, spolo, salo, temo, hitl, hitb,
+     oob) = pl.pallas_call(
         kern,
-        out_shape=[fshape, fshape, fshape, ishape, ishape, ishape, ishape,
-                   ishape],
+        out_shape=[fshape, fshape, fshape, ishape, ishape, fshape,
+                   fshape, ishape, ishape, ishape],
         grid_spec=grid_spec, interpret=interpret,
     )(params, rngk, rs(x, jnp.float32), rs(y, jnp.float32),
       rs(z, jnp.float32), rs(dob, jnp.float32), rs(status, jnp.int32),
-      rs(pids, jnp.int32), rs(spols, jnp.int32), rtab, brows)
+      rs(pids, jnp.int32), rs(spols, jnp.int32),
+      rs(salts, jnp.float32), rs(temps, jnp.float32), rtab, brows)
     return (xo.reshape(n), yo.reshape(n), zo.reshape(n), sto.reshape(n),
-            spolo.reshape(n), hitl.reshape(n), hitb.reshape(n),
-            oob.reshape(n) != 0)
+            spolo.reshape(n), salo.reshape(n), temo.reshape(n),
+            hitl.reshape(n), hitb.reshape(n), oob.reshape(n) != 0)

@@ -65,11 +65,15 @@ from .scoord import s_depths
 class PackedRecords(NamedTuple):
     """Per-record packed cell tables (built once per external step)."""
     tab: jax.Array      # (3, C, L) value lanes only (no z2 yet):
-                        #   [u us | v us | w ws | zeta | h [| aks ws]] —
-                        #   the optional trailing aks lanes feed the
-                        #   in-kernel Visser turbulence path
+                        #   [u us | v us | w ws | zeta | h [| aks ws]
+                        #    [| salt us | temp us]] — the optional
+                        #   trailing aks lanes feed the in-kernel
+                        #   Visser turbulence path; the salt/temp lanes
+                        #   feed in-kernel SaltTempOn sampling and the
+                        #   salinity-cued behaviors (4/5)
     times: jax.Array    # (3,)
     with_aks: bool = False  # static: aks lanes present
+    with_scalars: bool = False  # static: salt/temp lanes present
 
 
 class StageTable(NamedTuple):
@@ -115,12 +119,14 @@ def half_lanes(us: int, ws: int) -> int:
 
 
 def build_packed_records(grid: Grid, fields: FieldSet,
-                         with_aks: bool = False) -> PackedRecords:
+                         with_aks: bool = False,
+                         with_scalars: bool = False) -> PackedRecords:
     """Dense per-record packing (jit; grid-sized work).
 
     Collocates u, v onto rho points and concatenates value lanes;
-    with_aks appends the ws Aks lanes after h (indices of the nv core
-    lanes are unchanged).
+    with_aks appends the ws Aks lanes after h; with_scalars appends the
+    us salt + us temp lanes after those (indices of the nv core lanes
+    are unchanged).
     """
     u = _collocate_u(fields.u)                     # (3, Ny, Nx, us)
     v = _collocate_v(fields.v, grid.ny)            # (3, Ny, Nx, us)
@@ -131,10 +137,14 @@ def build_packed_records(grid: Grid, fields: FieldSet,
     parts = [u, v, w, z, h]
     if with_aks:
         parts.append(fields.aks.astype(u.dtype))
+    if with_scalars:
+        parts.append(fields.salt.astype(u.dtype))
+        parts.append(fields.temp.astype(u.dtype))
     tab = jnp.concatenate(parts, axis=-1)
     three, ny, nx, L = tab.shape
     tab = tab.reshape(three, ny * nx, L)
-    return PackedRecords(tab=tab, times=fields.times, with_aks=with_aks)
+    return PackedRecords(tab=tab, times=fields.times, with_aks=with_aks,
+                         with_scalars=with_scalars)
 
 
 def _knots(zeta, h, s, cs, hc, vtransform):

@@ -448,6 +448,7 @@ def make_tiled_step(ctx: StepContext, cfg: Config, spec: TileSpec,
     idt = float(cfg.idt)
     use_mega = mega is not None and (interpret or mode_flags(ctx, cfg)[2])
     mega_aks = cfg.VTurbOn and cfg.readAks
+    mega_sc = cfg.SaltTempOn
     s_max = boundary_s_max(ctx.bounds) if use_mega else 0
 
     fs_specs = FieldSet(
@@ -495,7 +496,8 @@ def make_tiled_step(ctx: StepContext, cfg: Config, spec: TileSpec,
             ps, perm = _sp.sort_by_cell(
                 p, ci, cj, aspect_y=max(1, cfg.kernel_wy // cfg.kernel_wx))
             prec = _pk.build_packed_records(grid_loc, fs_loc,
-                                            with_aks=mega_aks)
+                                            with_aks=mega_aks,
+                                            with_scalars=mega_sc)
             p2 = _mega_external_step(
                 ctx_loc, cfg, base_key, ps, fs_loc, prec, mg.brows_t[0],
                 s_max, t0, ext_idx, interpret=interpret,

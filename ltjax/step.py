@@ -26,7 +26,7 @@ from . import spatial as sp
 from . import state as st
 from .config import Config
 from .fields import FieldSet
-from .grid import Grid, locate
+from .grid import Grid, affine_ladders as _affine_ladders, locate
 from .kernels import gather_interp as gi
 from .physics import behavior as bh
 from .physics import boundary as bd
@@ -308,14 +308,19 @@ def mode_flags(ctx: StepContext, cfg: Config):
                   and jax.default_backend() == "tpu")
     # the whole-external-step megakernel covers advection + boundary +
     # turbulence (in-kernel Threefry streams identical to ltjax.rng),
-    # behaviors 0-3 and 6 (zone-biased walks, DVM, constant sinking),
-    # mortality, and settlement (full-cell fast path + exact-patch
-    # deferral); the salinity-cued behaviors (4/5), TST (7), and
-    # SaltTempOn sampling drop to the per-step kernel (advection
-    # fused, the rest XLA)
+    # behaviors 0-6 (zone-biased walks, DVM, salinity-cued ontogeny,
+    # constant sinking), mortality, settlement (full-cell fast path +
+    # exact-patch deferral), and SaltTempOn sampling.  The salt paths
+    # (SaltTempOn / behaviors 4-5) additionally need the pair2 blend +
+    # the constant-ladder vertical scheme (affine ladders); TST (7)
+    # and non-qualifying salt configs drop to the per-step kernel
+    # (advection fused, the rest XLA).
+    needs_salt = cfg.SaltTempOn or cfg.Behavior in (4, 5)
+    salt_ok = (cfg.kernel_precision == "pair2" and cfg.kernel_sfast
+               and _affine_ladders(ctx.grid) is not None)
     use_mega = (use_kernel
-                and cfg.Behavior in (0, 1, 2, 3, 6)
-                and not cfg.SaltTempOn)
+                and cfg.Behavior in (0, 1, 2, 3, 4, 5, 6)
+                and (not needs_salt or salt_ok))
     return use_fast, use_kernel, use_mega
 
 
@@ -340,11 +345,13 @@ def make_external_step(ctx: StepContext, cfg: Config, base_key):
         s_max = boundary_s_max(ctx.bounds)
 
     mega_aks = use_mega and cfg.VTurbOn and cfg.readAks
+    mega_sc = use_mega and cfg.SaltTempOn
 
     @jax.jit
     def ext_step(p: st.Particles, fields: FieldSet, t0, ext_idx):
         prec = (pk.build_packed_records(ctx.grid, fields,
-                                        with_aks=mega_aks)
+                                        with_aks=mega_aks,
+                                        with_scalars=mega_sc)
                 if use_fast else None)
 
         if use_kernel:
@@ -407,6 +414,7 @@ def make_fused_external_steps(ctx: StepContext, cfg: Config, base_key,
     n_int = cfg.internal_steps
     dt = float(cfg.dt)
     mega_aks = cfg.VTurbOn and cfg.readAks
+    mega_sc = cfg.SaltTempOn
     brows = jnp.asarray(es.boundary_rows_table(
         ctx.bounds, grid.ny, grid.nx,
         polys=ctx.polys if cfg.settlementon else None, holes=ctx.holes))
@@ -414,7 +422,8 @@ def make_fused_external_steps(ctx: StepContext, cfg: Config, base_key,
 
     @jax.jit
     def fused(p: st.Particles, fsR: FieldSet, t0, ext_idx0):
-        prec_all = pk.build_packed_records(grid, fsR, with_aks=mega_aks)
+        prec_all = pk.build_packed_records(grid, fsR, with_aks=mega_aks,
+                                           with_scalars=mega_sc)
         rtab_all = pk.build_record_tables(
             grid, prec_all, paired=cfg.kernel_precision == "pair2")
 
@@ -444,7 +453,8 @@ def make_fused_external_steps(ctx: StepContext, cfg: Config, base_key,
             tab3 = jax.lax.dynamic_slice_in_dim(prec_all.tab, e, 3, 0)
             times3 = jax.lax.dynamic_slice_in_dim(fsR.times, e, 3, 0)
             prec3 = pk.PackedRecords(tab=tab3, times=times3,
-                                     with_aks=mega_aks)
+                                     with_aks=mega_aks,
+                                     with_scalars=mega_sc)
             rtab3 = jax.lax.dynamic_slice_in_dim(rtab_all, e, 3, 0)
             f3 = FieldSet(
                 *(jax.lax.dynamic_slice_in_dim(a, e, 3, 0)
@@ -487,11 +497,12 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
     if rtab is None:
         rtab = pk.build_record_tables(
             grid, prec, paired=cfg.kernel_precision == "pair2")
-    beh_swim = cfg.Behavior in (1, 2, 3)
+    beh_swim = cfg.Behavior in (1, 2, 3, 4, 5)
     settle_on = cfg.settlementon and ctx.polys is not None
     beh = (dict(pediage=float(cfg.pediage), swimstart=float(cfg.swimstart),
                 swimslow=float(cfg.swimslow), swimfast=float(cfg.swimfast),
-                Kp=float(cfg.Kp), thresh=float(cfg.thresh))
+                Kp=float(cfg.Kp), thresh=float(cfg.thresh),
+                Sgradient=float(cfg.Sgradient))
            if (beh_swim or settle_on) else None)
     dvm = ((float(cfg.twistart), float(cfg.twiend), float(cfg.Em))
            if cfg.Behavior == 3 else None)
@@ -519,7 +530,8 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
         return jnp.concatenate([a, jnp.broadcast_to(tailv, (pad,))])
 
     # pad slots are NOT_RELEASED with dob=+inf: never activate, never move
-    xo, yo, zo, sto, spolo, hitl, hitb, oob = es.ext_step_fused(
+    (xo, yo, zo, sto, spolo, salo, temo, hitl, hitb,
+     oob) = es.ext_step_fused(
         grid, rtab, brows, params,
         padded(p.x), padded(p.y), padded(p.z),
         padded(p.dob, jnp.inf),
@@ -536,10 +548,12 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
         sink_on=cfg.Behavior == 6, mortality=cfg.mortality,
         behavior=cfg.Behavior if beh_swim else 0, beh=beh,
         settle_on=settle_on, spols=padded(p.settle_poly, -1),
+        salt_on=cfg.SaltTempOn, with_scalars=prec.with_scalars,
+        salts=padded(p.salt), temps=padded(p.temp),
         interpret=interpret)
     xo, yo, zo = xo[:n], yo[:n], zo[:n]
     sto, hitl, hitb, oob = sto[:n], hitl[:n], hitb[:n], oob[:n]
-    spolo = spolo[:n]
+    spolo, salo, temo = spolo[:n], salo[:n], temo[:n]
     if os.environ.get("LTJAX_DEBUG_OOB"):
         jax.debug.print("oob t0={t} n_oob={o}", t=t0, o=jnp.sum(oob))
 
@@ -548,7 +562,7 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
     hit_land = p.hit_land + hitl if cfg.TrackCollisions else p.hit_land
     hit_bottom = p.hit_bottom + hitb if cfg.TrackCollisions else p.hit_bottom
     out = p._replace(x=xo, y=yo, z=zo, age=age, status=sto,
-                     settle_poly=spolo,
+                     settle_poly=spolo, salt=salo, temp=temo,
                      hit_land=hit_land, hit_bottom=hit_bottom)
 
     # --- exact recompute of out-of-window particles ----------------------
@@ -571,7 +585,9 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
     # external step measured at 1M/cap 15.6k on the 200x200 grid).
     patch_collapsed = cap * 24 > 4 * grid.ny * grid.nx
     HLv = ((pk.n_value_lanes(grid.us, grid.ws)
-            + (grid.ws if prec.with_aks else 0) + 127) // 128) * 128
+            + (grid.ws if prec.with_aks else 0)
+            + (2 * grid.us if prec.with_scalars else 0)
+            + 127) // 128) * 128
     pre_bytes = (2 * n_int + 1) * grid.ny * grid.nx * HLv * 4
     patch_pre = patch_collapsed and pre_bytes < 2.5e9
     if patch_pre:
@@ -610,6 +626,7 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
         z=scat(out.z, sub.z), age=scat(out.age, sub.age),
         status=scat(out.status, sub.status),
         settle_poly=scat(out.settle_poly, sub.settle_poly),
+        salt=scat(out.salt, sub.salt), temp=scat(out.temp, sub.temp),
         hit_land=scat(out.hit_land, sub.hit_land),
         hit_bottom=scat(out.hit_bottom, sub.hit_bottom))
     return out._replace(status=jnp.where(overflow, st.ERROR, out.status))

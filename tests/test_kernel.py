@@ -114,7 +114,8 @@ def test_ext_step_fused_interpret_matches_collapsed_scan():
     s_max = (int(bounds.cell_rows.shape[1]) - 8) // 8
     params = es.params_array_ext(grid, bounds, cfg.z0, 0.0, fs.times,
                                  float(cfg.idt), n_int)
-    xo, yo, zo, sto, spolo, hitl, hitb, oob = es.ext_step_fused(
+    (xo, yo, zo, sto, spolo, salo, temo, hitl, hitb,
+     oob) = es.ext_step_fused(
         grid, rtab, brows, params, p.x, p.y, p.z, p.dob, p.status,
         cfg.tension_sigma, n_int, float(cfg.idt),
         n_iter=cfg.reflect_iters, p_block=256, s_max=s_max,
@@ -193,7 +194,8 @@ def test_ext_step_fused_turbulence_matches_xla():
                                  float(cfg.idt), n_int,
                                  const_hturb=cfg.ConstantHTurb)
     rngk = es.rng_keys_array(base_key, 0, n_int)
-    xo, yo, zo, sto, spolo, hitl, hitb, oob = es.ext_step_fused(
+    (xo, yo, zo, sto, spolo, salo, temo, hitl, hitb,
+     oob) = es.ext_step_fused(
         grid, rtab, brows, params, p.x, p.y, p.z, p.dob, p.status,
         cfg.tension_sigma, n_int, float(cfg.idt),
         n_iter=cfg.reflect_iters, p_block=256, s_max=s_max,
@@ -263,7 +265,8 @@ def test_ext_step_pair2_matches_collapsed_scan():
     brows = jnp.asarray(es.boundary_rows_table(bounds, grid.ny, grid.nx))
     params = es.params_array_ext(grid, bounds, cfg.z0, 0.0, fs.times,
                                  float(cfg.idt), n_int)
-    xo, yo, zo, sto, spolo, hitl, hitb, oob = es.ext_step_fused(
+    (xo, yo, zo, sto, spolo, salo, temo, hitl, hitb,
+     oob) = es.ext_step_fused(
         grid, rtab, brows, params, p.x, p.y, p.z, p.dob, p.status,
         0.0, n_int, float(cfg.idt), n_iter=2, p_block=256,
         s_max=boundary_s_max(bounds), precision="pair2",
@@ -408,7 +411,8 @@ def test_ext_step_mega_sink_mortality():
     params = es.params_array_ext(grid, bounds, cfg.z0, 0.0, fs.times,
                                  float(cfg.idt), n_int,
                                  sink=cfg.sink, deadage=cfg.deadage)
-    xo, yo, zo, sto, spolo, hitl, hitb, oob = es.ext_step_fused(
+    (xo, yo, zo, sto, spolo, salo, temo, hitl, hitb,
+     oob) = es.ext_step_fused(
         grid, rtab, brows, params, p.x, p.y, p.z, p.dob, p.status,
         0.0, n_int, float(cfg.idt), n_iter=2, p_block=256,
         s_max=boundary_s_max(bounds), open_exits=True,
@@ -465,7 +469,8 @@ def test_ext_step_mega_frozen_block_skipped():
     brows = jnp.asarray(es.boundary_rows_table(bounds, grid.ny, grid.nx))
     params = es.params_array_ext(grid, bounds, 5e-4, 0.0, fs.times,
                                  450.0, n_int)
-    xo, yo, zo, sto, spolo, hitl, hitb, oob = es.ext_step_fused(
+    (xo, yo, zo, sto, spolo, salo, temo, hitl, hitb,
+     oob) = es.ext_step_fused(
         grid, rtab, brows, params, p.x, p.y, p.z, p.dob, p.status,
         0.0, n_int, 450.0, n_iter=2, p_block=256,
         s_max=boundary_s_max(bounds), open_exits=True, interpret=True)

@@ -79,7 +79,8 @@ def test_mega_behavior_swim_parity(behavior):
                swimslow=float(cfg.swimslow), swimfast=float(cfg.swimfast),
                Kp=float(cfg.Kp), thresh=float(cfg.thresh))
     rngk = es.rng_keys_array(jr.key(0), 0, n_int, behave=True)
-    xo, yo, zo, sto, spolo, hitl, hitb, oob = es.ext_step_fused(
+    (xo, yo, zo, sto, spolo, salo, temo, hitl, hitb,
+     oob) = es.ext_step_fused(
         grid, rtab, brows, params, p.x, p.y, p.z, p.dob, p.status,
         0.0, n_int, float(cfg.idt), n_iter=2, p_block=256,
         s_max=boundary_s_max(bounds), open_exits=True,
@@ -202,10 +203,88 @@ def test_turbulent_oob_rate_under_patch_capacity():
         s_max=boundary_s_max(bounds), open_exits=True,
         pids=p.pid, rngk=rngk, hturb_on=True, vturb_on=True,
         with_aks=True, interpret=True)
-    oob_frac = float(np.asarray(out[7]).mean())
+    oob_frac = float(np.asarray(out[9]).mean())
     # capacity is 1/cfg.oob_frac (= 1/64 = 1.56%); the turbulent rate
     # here measures ~1.0% (the 1M-chip bench: 0.8-0.9%) — the assert
     # pins it below capacity with margin so a regression that widens
     # block spread (sort, window-origin, or feedback changes) fails
     # loudly before it can hit the round-3 overflow->ERROR incident
     assert oob_frac < 0.85 / cfg.oob_frac, oob_frac
+
+
+@pytest.mark.parametrize("behavior", [4, 5])
+def test_mega_salt_behavior_and_sampling_parity(behavior):
+    """Megakernel behaviors 4/5 (salinity-cued ontogeny) + SaltTempOn
+    sampling (interpret) vs the records-mode XLA scan.
+
+    The synthetic salt/temp fields are LINEAR in z, which both the
+    kernel's constant-ladder collapsed scheme and the XLA native
+    sampler reproduce exactly — parity is then rounding-level, and the
+    dS/dz cue is spatially uniform (deterministically above the
+    Sgradient threshold)."""
+    us = 6
+    kw = dict(Behavior=behavior, swimstart=0.0, swimslow=1e-3,
+              swimfast=4e-3, pediage=900.0, Sgradient=0.03,
+              readSalt=True, SaltTempOn=True)
+    c, cfg, grid, bounds, fs, p = _setup(kw, us=us)
+    ctx = StepContext(grid=grid, bounds=bounds, polys=None, holes=None)
+    n_int = cfg.internal_steps
+    n = cfg.numpar
+    t0 = 0.0
+    p = p._replace(dob=jnp.zeros(n, jnp.float32))
+
+    # salt/temp linear in z: S = 30 + 0.05 z ; T = 12 + 0.1 z
+    # (fields are K-last (3, Ny, Nx, us); zeta=0, h=50, Cs=s)
+    z_r = 50.0 * np.asarray(c.grid.s_rho)
+    S = (30.0 + 0.05 * z_r).astype(np.float32)
+    T = (12.0 + 0.1 * z_r).astype(np.float32)
+    fs = fs._replace(
+        salt=jnp.broadcast_to(jnp.asarray(S)[None, None, None, :],
+                              fs.salt.shape),
+        temp=jnp.broadcast_to(jnp.asarray(T)[None, None, None, :],
+                              fs.temp.shape))
+
+    prec = pk.build_packed_records(grid, fs, with_scalars=True)
+    rtab = pk.build_record_tables(grid, prec, paired=True)
+    brows = jnp.asarray(es.boundary_rows_table(bounds, grid.ny, grid.nx))
+    params = es.params_array_ext(grid, bounds, cfg.z0, t0, fs.times,
+                                 float(cfg.idt), n_int)
+    beh = dict(pediage=float(cfg.pediage), swimstart=float(cfg.swimstart),
+               swimslow=float(cfg.swimslow), swimfast=float(cfg.swimfast),
+               Kp=float(cfg.Kp), thresh=float(cfg.thresh),
+               Sgradient=float(cfg.Sgradient))
+    rngk = es.rng_keys_array(jr.key(0), 0, n_int, behave=True)
+    (xo, yo, zo, sto, spolo, salo, temo, hitl, hitb,
+     oob) = es.ext_step_fused(
+        grid, rtab, brows, params, p.x, p.y, p.z, p.dob, p.status,
+        cfg.tension_sigma, n_int, float(cfg.idt), n_iter=2, p_block=256,
+        s_max=boundary_s_max(bounds), open_exits=True, precision="pair2",
+        pids=p.pid, rngk=rngk, behavior=behavior, beh=beh,
+        salt_on=True, with_scalars=True, salts=p.salt, temps=p.temp,
+        interpret=True)
+
+    rft = pk.build_records_flat(grid, prec)
+    pp = p
+    for ii in range(n_int):
+        pp = internal_step(ctx, cfg, jr.key(0), pp, fs,
+                           t0 + ii * float(cfg.idt), ii, rft,
+                           mode="records")
+    ok = ~np.asarray(oob)
+    assert ok.sum() > 0.9 * n
+    # swimming must actually happen, and pediveliger down-swim engages
+    # mid-window (pediage = 900 s of the 1800 s step)
+    assert float(np.abs(np.asarray(zo) - np.asarray(p.z)).max()) > 0.01
+    np.testing.assert_allclose(np.asarray(zo)[ok], np.asarray(pp.z)[ok],
+                               rtol=0, atol=2e-3)
+    # ~1e-5 relative = pair2 blend rounding at these velocities
+    np.testing.assert_allclose(np.asarray(xo)[ok], np.asarray(pp.x)[ok],
+                               rtol=0, atol=1.0)
+    # sampled salinity/temperature track the XLA sampler (linear fields
+    # -> scheme-exact; tolerance covers pair2 blend rounding)
+    np.testing.assert_allclose(np.asarray(salo)[ok],
+                               np.asarray(pp.salt)[ok], rtol=0,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(temo)[ok],
+                               np.asarray(pp.temp)[ok], rtol=0,
+                               atol=2e-3)
+    assert np.array_equal(np.asarray(sto)[ok], np.asarray(pp.status)[ok])

@@ -53,7 +53,8 @@ def test_ext_step_pair2_on_chip_matches_records_scan(setup):
                                                grid.nx))
     params = es.params_array_ext(grid, ctx.bounds, cfg.z0, 0.0, fs.times,
                                  idt, n_int)
-    xo, yo, zo, sto, spolo, hitl, hitb, oob = jax.block_until_ready(
+    (xo, yo, zo, sto, spolo, salo, temo, hitl, hitb,
+     oob) = jax.block_until_ready(
         es.ext_step_fused(
             grid, rtab, brows, params, ps.x, ps.y, ps.z, ps.dob,
             ps.status, cfg.tension_sigma, n_int, idt,
@@ -116,7 +117,8 @@ def test_ext_step_turb_on_chip_matches_records_scan():
         const_hturb=cfg.ConstantHTurb)
     key = jr.key(cfg.seed)
     rngk = es.rng_keys_array(key, 0, n_int)
-    xo, yo, zo, sto, spolo, hitl, hitb, oob = jax.block_until_ready(
+    (xo, yo, zo, sto, spolo, salo, temo, hitl, hitb,
+     oob) = jax.block_until_ready(
         es.ext_step_fused(
             grid, rtab, brows, params, ps.x, ps.y, ps.z, ps.dob,
             ps.status, cfg.tension_sigma, n_int, idt,
