@@ -45,7 +45,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..grid import Grid
-from ..physics.behavior import BOTTOM_ZONE, P_BIAS, SURFACE_ZONE
+from ..physics.behavior import (BOTTOM_ZONE, P_BIAS, SURFACE_ZONE,
+                               TST_MIN_SPEED)
 from ..physics.boundary import Boundaries, LAND, OPEN
 from .. import rng as _rng
 from .gather_interp import (WC, WX, WY, _IDX_HC, _IDX_INVDX, _IDX_INVDY,
@@ -330,6 +331,7 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
     CW_k = const_ladder(ladder[1], sigma) if ladder is not None else None
     beh_swim = behavior in (1, 2, 3, 4, 5)  # in-kernel swim behaviors
     beh_salt = behavior in (4, 5)      # salinity-cued (needs dS/dz)
+    beh_tst = behavior == 7            # tidal-stream transport
     rng_stride = 8 if beh_swim else 4  # words per step in rngk
     us_ = grid.us
     if beh_salt or salt_on:
@@ -672,7 +674,7 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                             + par_ref[c + 2] * wfv.reshape(wc, HL)[:, :HLc])
 
                 w1 = win_at(0)
-                if vturb_aks or beh_swim or salt_on:
+                if vturb_aks or beh_swim or beh_tst or salt_on:
                     u1, v1, ww1, oob1, aux1 = stage_eval(
                         par_ref, oy_f, ox_f, w1, xv, yv, zv, oob, extras=True)
                 else:
@@ -816,6 +818,39 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                                           up_dz * 0.5 + rnd_dz * 0.5),
                                 dzb)
                     z1 = z1 + dzb
+
+                if beh_tst:
+                    # behavior 7: tidal-stream transport (mirrors
+                    # physics.behavior.behave b7): ride at Swimdepth
+                    # below the surface with Hswimspeed along the
+                    # current when it runs faster than TST_MIN_SPEED,
+                    # else hold near the bottom.  Currents/zeta/h come
+                    # from the stage-1 evaluation (the XLA path samples
+                    # them at the same position/time).
+                    bl1v = aux1[0]
+                    zeta_b = bl1v[nv - 2]
+                    h_b = bl1v[nv - 1]
+                    age_pre = t_i - dob
+                    denom = max(beh["pediage"] - beh["swimstart"], 1e-30)
+                    frac = jnp.clip(
+                        (age_pre - jnp.float32(beh["swimstart"]))
+                        * jnp.float32(1.0 / denom), 0.0, 1.0)
+                    wsw = (jnp.float32(beh["swimslow"])
+                           + jnp.float32(beh["swimfast"]
+                                         - beh["swimslow"]) * frac)
+                    wsw = jnp.where(age_pre >= beh["swimstart"], wsw, 0.0)
+                    speed = jnp.sqrt(u1 * u1 + v1 * v1)
+                    riding = speed > TST_MIN_SPEED
+                    target_z = jnp.where(riding,
+                                         zeta_b - jnp.float32(
+                                             beh["Swimdepth"]),
+                                         -h_b + 0.5)
+                    bound = wsw * idtc + 1.0
+                    z1 = z1 + jnp.clip(target_z - zv, -bound, bound)
+                    spd_safe = jnp.maximum(speed, 1e-12)
+                    ride_d = jnp.float32(beh["Hswimspeed"]) * idtc / spd_safe
+                    x1 = x1 + jnp.where(riding, ride_d * u1, 0.0)
+                    y1 = y1 + jnp.where(riding, ride_d * v1, 0.0)
 
                 # horizontal boundary reflection (skipped when the window
                 # holds no segments — interior blocks).  The trigger reads

@@ -312,14 +312,14 @@ def mode_flags(ctx: StepContext, cfg: Config):
     # constant sinking), mortality, settlement (full-cell fast path +
     # exact-patch deferral), and SaltTempOn sampling.  The salt paths
     # (SaltTempOn / behaviors 4-5) additionally need the pair2 blend +
-    # the constant-ladder vertical scheme (affine ladders); TST (7)
-    # and non-qualifying salt configs drop to the per-step kernel
-    # (advection fused, the rest XLA).
+    # the constant-ladder vertical scheme (affine ladders);
+    # non-qualifying salt configs drop to the per-step kernel
+    # (advection fused, the rest XLA).  All behavior types 0-7 are
+    # covered (TST rides the stage-1 currents in-kernel).
     needs_salt = cfg.SaltTempOn or cfg.Behavior in (4, 5)
     salt_ok = (cfg.kernel_precision == "pair2" and cfg.kernel_sfast
                and _affine_ladders(ctx.grid) is not None)
     use_mega = (use_kernel
-                and cfg.Behavior in (0, 1, 2, 3, 4, 5, 6)
                 and (not needs_salt or salt_ok))
     return use_fast, use_kernel, use_mega
 
@@ -498,12 +498,15 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
         rtab = pk.build_record_tables(
             grid, prec, paired=cfg.kernel_precision == "pair2")
     beh_swim = cfg.Behavior in (1, 2, 3, 4, 5)
+    beh_any = cfg.Behavior in (1, 2, 3, 4, 5, 7)
     settle_on = cfg.settlementon and ctx.polys is not None
     beh = (dict(pediage=float(cfg.pediage), swimstart=float(cfg.swimstart),
                 swimslow=float(cfg.swimslow), swimfast=float(cfg.swimfast),
                 Kp=float(cfg.Kp), thresh=float(cfg.thresh),
-                Sgradient=float(cfg.Sgradient))
-           if (beh_swim or settle_on) else None)
+                Sgradient=float(cfg.Sgradient),
+                Hswimspeed=float(cfg.Hswimspeed),
+                Swimdepth=float(cfg.Swimdepth))
+           if (beh_any or settle_on) else None)
     dvm = ((float(cfg.twistart), float(cfg.twiend), float(cfg.Em))
            if cfg.Behavior == 3 else None)
     if params_static is not None:
@@ -546,7 +549,7 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
         window=(cfg.kernel_wy, cfg.kernel_wx),
         fast_math=cfg.kernel_fast_math, sfast=cfg.kernel_sfast,
         sink_on=cfg.Behavior == 6, mortality=cfg.mortality,
-        behavior=cfg.Behavior if beh_swim else 0, beh=beh,
+        behavior=cfg.Behavior if beh_any else 0, beh=beh,
         settle_on=settle_on, spols=padded(p.settle_poly, -1),
         salt_on=cfg.SaltTempOn, with_scalars=prec.with_scalars,
         salts=padded(p.salt), temps=padded(p.temp),

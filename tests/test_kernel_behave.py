@@ -288,3 +288,54 @@ def test_mega_salt_behavior_and_sampling_parity(behavior):
                                np.asarray(pp.temp)[ok], rtol=0,
                                atol=2e-3)
     assert np.array_equal(np.asarray(sto)[ok], np.asarray(pp.status)[ok])
+
+
+def test_mega_tst_parity():
+    """Megakernel behavior 7 (tidal-stream transport, interpret) vs the
+    records-mode XLA scan: ride at Swimdepth with Hswimspeed along the
+    current when it runs, hold near bottom otherwise."""
+    kw = dict(Behavior=7, swimstart=0.0, swimslow=1e-3, swimfast=4e-3,
+              pediage=86400.0, Hswimspeed=0.05, Swimdepth=3.0)
+    c, cfg, grid, bounds, fs, p = _setup(kw)
+    ctx = StepContext(grid=grid, bounds=bounds, polys=None, holes=None)
+    n_int = cfg.internal_steps
+    n = cfg.numpar
+    t0 = 0.0
+    p = p._replace(dob=jnp.zeros(n, jnp.float32))
+
+    prec = pk.build_packed_records(grid, fs)
+    rtab = pk.build_record_tables(grid, prec, paired=True)
+    brows = jnp.asarray(es.boundary_rows_table(bounds, grid.ny, grid.nx))
+    params = es.params_array_ext(grid, bounds, cfg.z0, t0, fs.times,
+                                 float(cfg.idt), n_int)
+    beh = dict(pediage=float(cfg.pediage), swimstart=float(cfg.swimstart),
+               swimslow=float(cfg.swimslow), swimfast=float(cfg.swimfast),
+               Kp=float(cfg.Kp), thresh=float(cfg.thresh),
+               Sgradient=float(cfg.Sgradient),
+               Hswimspeed=float(cfg.Hswimspeed),
+               Swimdepth=float(cfg.Swimdepth))
+    (xo, yo, zo, sto, spolo, salo, temo, hitl, hitb,
+     oob) = es.ext_step_fused(
+        grid, rtab, brows, params, p.x, p.y, p.z, p.dob, p.status,
+        cfg.tension_sigma, n_int, float(cfg.idt), n_iter=2, p_block=256,
+        s_max=boundary_s_max(bounds), open_exits=True, precision="pair2",
+        pids=p.pid, behavior=7, beh=beh, interpret=True)
+
+    rft = pk.build_records_flat(grid, prec)
+    pp = p
+    for ii in range(n_int):
+        pp = internal_step(ctx, cfg, jr.key(0), pp, fs,
+                           t0 + ii * float(cfg.idt), ii, rft,
+                           mode="records")
+    ok = ~np.asarray(oob)
+    assert ok.sum() > 0.9 * n
+    # the solid-body current is ~0.5-2 m/s here: everyone rides, so
+    # vertical positions must pull toward Swimdepth below the surface
+    assert float(np.abs(np.asarray(zo) - np.asarray(p.z)).max()) > 1.0
+    np.testing.assert_allclose(np.asarray(zo)[ok], np.asarray(pp.z)[ok],
+                               rtol=0, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(xo)[ok], np.asarray(pp.x)[ok],
+                               rtol=0, atol=1.0)
+    np.testing.assert_allclose(np.asarray(yo)[ok], np.asarray(pp.y)[ok],
+                               rtol=0, atol=1.0)
+    assert np.array_equal(np.asarray(sto)[ok], np.asarray(pp.status)[ok])
