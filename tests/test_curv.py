@@ -238,3 +238,55 @@ def test_max_displacement_guard_rectilinear():
     _, _, _, _, stuck = bd.reflect(bounds, x0, y0, x1, y1,
                                    open_exits=True)
     assert not bool(stuck[0])
+
+
+def test_curvilinear_cli_driver_end_to_end(tmp_path):
+    """The production driver (run.run) on a curvilinear geographic ROMS
+    series: grid_from_roms -> curvilinear boundaries -> packed-path
+    stepping -> NetCDF output, trajectories vs analytic truth."""
+    from ltjax import convert
+    from ltjax.io.nc import NCFile
+    from ltjax.run import run
+
+    case = synth.make_curv_case(nx=33, ny=29, us=5, lx=64e3, ly=56e3,
+                                h0=40.0, omega=1e-4, amp=0.02)
+    synth.write_roms_files(case, str(tmp_path / "roms"), n_records=5,
+                           dt=1800.0, geographic=True, lonmin=-76.0,
+                           latmin=37.0)
+    rng = np.random.default_rng(4)
+    n = 64
+    x0 = rng.uniform(20e3, 44e3, n)
+    y0 = rng.uniform(16e3, 40e3, n)
+    z0 = rng.uniform(-30.0, -5.0, n)
+    lat = np.asarray(convert.y2lat(y0, 37.0))
+    lon = np.asarray(convert.x2lon(x0, y0, -76.0, 37.0))
+    with open(tmp_path / "parfile.csv", "w") as f:
+        for k in range(n):
+            f.write(f"{lon[k]},{lat[k]},{-z0[k]},0.0\n")
+
+    cfg = Config(
+        numpar=n, days=2 * 1800.0 / 86400.0, dt=1800, idt=450, us=5,
+        ws=6, iprint=1800, hc=40.0, Vtransform=1,
+        OpenOceanBoundary=True, SphericalProjection=True,
+        latmin=37.0, lonmin=-76.0,
+        NCgridfile=str(tmp_path / "roms" / "grid.nc"),
+        dirin=str(tmp_path / "roms") + "/", prefix="ocean_his_",
+        suffix=".nc", numdigits=4,
+        parfile=str(tmp_path / "parfile.csv"),
+        outpath=str(tmp_path / "out"), NCOutFile="curv", writeNC=True,
+        ErrorFlag=0)
+    out = run(cfg)
+    assert (np.asarray(out.status) == st.ACTIVE).all()
+
+    nc = NCFile(str(tmp_path / "out" / "curv.nc"))
+    lon_t = nc.read("lon")
+    lat_t = nc.read("lat")
+    mt = nc.read("model_time")
+    y = np.asarray(convert.lat2y(lat_t[-1], 37.0))
+    x = np.asarray(convert.lon2x(lon_t[-1], lat_t[-1], -76.0, 37.0))
+    xt, yt, zt = case.analytic(x0, y0, z0, float(mt[-1]))
+    err = np.hypot(x - xt, y - yt)
+    # curvilinear staggered-mesh discretization budget (see
+    # test_trajectories_match_analytic_curvilinear) + lon/lat IO
+    # round-trip at f64
+    assert err.max() < 20.0, err.max()
