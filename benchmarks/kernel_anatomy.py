@@ -10,8 +10,9 @@ internal step, 4 stage evals) and times them on the real chip:
   fit    : + knots + tension-spline Thomas fit (no eval)
   full   : + spline eval + log layer (== production stage_eval)
 
-Run: ``python benchmarks/kernel_anatomy.py [N] [p_block] [passes]``
-(passes: 1|2|3|6 MXU passes for the blend).
+Run: ``python benchmarks/kernel_anatomy.py [N] [p_block] [passes]
+[wy] [wx] [sfast]`` (passes: 1|2|3|6 MXU passes for the blend; wy/wx:
+window cells; sfast: 1 = constant-ladder s-space vertical scheme).
 """
 import functools
 import os
@@ -40,6 +41,9 @@ PB = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
 PASSES = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 N = (N // PB) * PB  # whole blocks
+W_Y = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+W_X = int(sys.argv[5]) if len(sys.argv) > 5 else 16
+SFAST = bool(int(sys.argv[6])) if len(sys.argv) > 6 else False
 
 cfg, ctx, fs, p = build(numpar=N)
 grid = ctx.grid
@@ -50,10 +54,10 @@ vtabs = jax.block_until_ready(
     jax.jit(lambda: pk.stage_value_tables(grid, prec, 0.0, idt))())
 ci, _ = locate(grid.x_rho, p.x, grid.uniform)
 cj, _ = locate(grid.y_rho, p.y, grid.uniform)
-ps, _ = sp.sort_by_cell(p, ci, cj)
+ps, _ = sp.sort_by_cell(p, ci, cj, aspect_y=max(1, W_Y // W_X))
 ps = jax.block_until_ready(ps)
 
-WY, WX = gi.WY, gi.WX
+WY, WX = W_Y, W_X
 WC = WY * WX
 nv = pk.n_value_lanes(grid.us, grid.ws)
 HL = vtabs[0].full.shape[-1]
@@ -66,8 +70,14 @@ precision = {1: jax.lax.Precision.DEFAULT, 3: "hilo3",
              6: jax.lax.Precision.HIGHEST}[PASSES]
 
 
+from ltjax.grid import affine_ladders
+LADDER = affine_ladders(grid) if SFAST else None
+
+
 def make_variant_kernel(level: str):
-    stage_eval = gi.make_stage_eval(grid, 0.0, nv, HL, P_, precision)
+    stage_eval = gi.make_stage_eval(grid, 0.0, nv, HL, P_, precision,
+                                    window=(WY, WX), fast_math=True,
+                                    ladder=LADDER)
     gs, c_off, c_diag = gi._gs_fns(0.0)
     blend_dot = gi.blend_dot_fn(precision)
     us, ws = grid.us, grid.ws
@@ -83,7 +93,7 @@ def make_variant_kernel(level: str):
         fy = jnp.clip(ty - j, 0.0, 1.0)
         li = jnp.clip(i - ox_f, 0.0, float(WX - 2))
         lj = jnp.clip(j - oy_f, 0.0, float(WY - 2))
-        wt = gi.make_bilinear_onehot(li, lj, fx, fy, P_)
+        wt = gi.make_bilinear_onehot(li, lj, fx, fy, P_, WY, WX)
         if level == "build":
             # consume wt without a matmul
             s = jnp.sum(wt.reshape(WC, PS, 128), axis=0)
@@ -247,7 +257,7 @@ def run_variant(level: str):
         ],
     )
     t1, t2, t4 = vtabs
-    org = gi.block_origins(grid, ps.x, ps.y, P_)
+    org = gi.block_origins(grid, ps.x, ps.y, P_, window=(WY, WX))
     params = gi._params_array(grid, cfg.z0)
 
     @jax.jit
@@ -269,7 +279,8 @@ def run_variant(level: str):
     return dt_s
 
 
-print(f"N={N} p_block={PB} passes={PASSES} window={WY}x{WX} HLc={HLc}")
+print(f"N={N} p_block={PB} passes={PASSES} window={WY}x{WX} "
+      f"HLc={HLc} sfast={int(SFAST)}")
 prev = 0.0
 for level in ["dma", "build", "blend", "fit", "fitfast", "full"]:
     t = run_variant(level)
