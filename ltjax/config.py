@@ -200,6 +200,23 @@ class Config:
                                   #   bench flow.  Strongly sheared flows
                                   #   can set 1; misses are never silent
                                   #   (exact patch -> ERROR on overflow)
+    sort_depth_bands: int = 1     # >1: band the Hilbert sort by height
+                                  #   above the seabed (band-major key,
+                                  #   bands of sort_band_height metres,
+                                  #   top band open-ended).  Depth-shear
+                                  #   cases — sinking particles entering
+                                  #   the bottom log layer decelerate
+                                  #   while mid-column neighbours drift
+                                  #   on — otherwise mix fast and stopped
+                                  #   particles in one block and disperse
+                                  #   it past the kernel window (measured
+                                  #   0.85% -> 45% misses over 8 ext
+                                  #   steps).  Banding keeps blocks
+                                  #   velocity-coherent.  1 = off (the
+                                  #   bench-flow default; banding splits
+                                  #   Hilbert runs, so only depth-sheared
+                                  #   configs should pay for it); max 6
+    sort_band_height: float = 4.0 # metres above bottom per sort band
     oob_frac: int = 64            # exact-recompute capacity for window
                                   #   misses = numpar // oob_frac
                                   #   (steady-state miss rate ~1.05% on

@@ -42,8 +42,8 @@ from . import state as st
 from .config import Config
 from .fields import FieldSet
 from .grid import Grid, locate
-from .step import (StepContext, _mega_external_step, boundary_s_max,
-                   internal_step, mode_flags)
+from .step import (StepContext, _mega_external_step, _sort_band,
+                   boundary_s_max, internal_step, mode_flags)
 
 EMPTY = -1  # status code for an unoccupied particle slot
 
@@ -494,7 +494,9 @@ def make_tiled_step(ctx: StepContext, cfg: Config, spec: TileSpec,
             ci, _ = locate(grid_loc.x_rho, p.x, grid_loc.uniform)
             cj, _ = locate(grid_loc.y_rho, p.y, grid_loc.uniform)
             ps, perm = _sp.sort_by_cell(
-                p, ci, cj, aspect_y=max(1, cfg.kernel_wy // cfg.kernel_wx))
+                p, ci, cj, aspect_y=max(1, cfg.kernel_wy // cfg.kernel_wx),
+                depth_band=_sort_band(cfg, grid_loc, p, ci, cj),
+                n_bands=cfg.sort_depth_bands)
             prec = _pk.build_packed_records(grid_loc, fs_loc,
                                             with_aks=mega_aks,
                                             with_scalars=mega_sc)

@@ -89,8 +89,19 @@ def _unpack_rows(rows: jax.Array, like: st.Particles) -> st.Particles:
     return st.Particles(**vals)
 
 
-def sort_by_cell(p: st.Particles, i, j, aspect_y: int = 1):
+def sort_by_cell(p: st.Particles, i, j, aspect_y: int = 1,
+                 depth_band=None, n_bands: int = 1):
     """Hilbert-sort the state by cell index; returns (p_sorted, perm).
+
+    ``depth_band`` (optional int32 array, values clipped to
+    ``[0, n_bands-1]``, ``n_bands`` <= 6): make the band the MAJOR sort
+    key, Hilbert order within each band.  Used for depth-sheared runs
+    (sinking into the bottom log layer): particles at similar height
+    above the seabed share horizontal velocity, so band-major blocks
+    stay compact where depth-mixed blocks disperse past the kernel
+    window (config.sort_depth_bands).  Banded keys use 14 Hilbert bits
+    (vs 15) so band+frozen fit int32; grids are far below 2^14 cells
+    per side either way.
 
     ``aspect_y`` (power of two): coarsen the eta coordinate by this
     factor in the Hilbert key, so equal-length key runs cover
@@ -116,9 +127,17 @@ def sort_by_cell(p: st.Particles, i, j, aspect_y: int = 1):
     """
     if aspect_y > 1:
         j = j >> (int(aspect_y).bit_length() - 1)
-    key = hilbert_key(i, j)                    # < 2^30 (bits=15)
     frozen = p.status >= st.SETTLED
-    key = key + jnp.where(frozen, jnp.int32(1) << 30, 0)
+    if depth_band is None:
+        key = hilbert_key(i, j)                # < 2^30 (bits=15)
+        key = key + jnp.where(frozen, jnp.int32(1) << 30, 0)
+    else:
+        nb = int(n_bands)
+        assert 1 <= nb <= 6, "n_bands must be in [1, 6] (int32 key room)"
+        key = hilbert_key(i, j, bits=14)       # < 2^28
+        band = jnp.clip(depth_band.astype(jnp.int32), 0, nb - 1)
+        band = jnp.where(frozen, jnp.int32(7), band)   # frozen sort last
+        key = key + (band << 28)               # 7 * 2^28 < 2^31
     perm = jnp.argsort(key)
     rows = _pack_rows(p)[perm]
     return _unpack_rows(rows, p), perm

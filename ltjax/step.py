@@ -324,6 +324,19 @@ def mode_flags(ctx: StepContext, cfg: Config):
     return use_fast, use_kernel, use_mega
 
 
+def _sort_band(cfg: Config, grid: Grid, p: st.Particles, ci, cj):
+    """Depth-band ids for the Hilbert sort, or None when banding is off.
+
+    Bands count ``cfg.sort_band_height``-metre slabs of height above the
+    local seabed (band 0 touches the bottom log layer; the top band is
+    open-ended).  See config.sort_depth_bands / spatial.sort_by_cell.
+    """
+    if cfg.sort_depth_bands <= 1:
+        return None
+    hab = p.z + grid.h[cj, ci]              # height above bottom [m]
+    return jnp.floor(hab / cfg.sort_band_height).astype(jnp.int32)
+
+
 def make_external_step(ctx: StepContext, cfg: Config, base_key):
     """Compile one external step: scan of cfg.internal_steps internal
     steps, fields fixed (the triple buffer covers [t_c, t_f]).
@@ -361,7 +374,9 @@ def make_external_step(ctx: StepContext, cfg: Config, base_key):
             ci, _ = locate(ctx.grid.x_rho, p.x, ctx.grid.uniform)
             cj, _ = locate(ctx.grid.y_rho, p.y, ctx.grid.uniform)
             p, perm = sp.sort_by_cell(
-                p, ci, cj, aspect_y=max(1, cfg.kernel_wy // cfg.kernel_wx))
+                p, ci, cj, aspect_y=max(1, cfg.kernel_wy // cfg.kernel_wx),
+                depth_band=_sort_band(cfg, ctx.grid, p, ci, cj),
+                n_bands=cfg.sort_depth_bands)
 
         if use_mega:
             p2 = _mega_external_step(ctx, cfg, base_key, p, fields, prec,
@@ -444,7 +459,9 @@ def make_fused_external_steps(ctx: StepContext, cfg: Config, base_key,
                 cj, _ = locate(grid.y_rho, pp.y, grid.uniform)
                 ps, perm = sp.sort_by_cell(
                     pp, ci, cj,
-                    aspect_y=max(1, cfg.kernel_wy // cfg.kernel_wx))
+                    aspect_y=max(1, cfg.kernel_wy // cfg.kernel_wx),
+                    depth_band=_sort_band(cfg, grid, pp, ci, cj),
+                    n_bands=cfg.sort_depth_bands)
                 return ps, cum[perm]
 
             se = max(1, cfg.ext_sort_every)

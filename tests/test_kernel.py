@@ -517,3 +517,59 @@ def test_const_ladder_spline_matches_z_space():
                                    rtol=1e-9, atol=1e-9)
         np.testing.assert_allclose(np.asarray(ds_), np.asarray(dz_),
                                    rtol=1e-9, atol=1e-9)
+
+def test_depth_banded_sort_invariance():
+    """config.sort_depth_bands changes only the block ORDER the
+    megakernel processes, never the physics: band-major sorted runs
+    must match the unbanded run (exact oob patch covers any particle
+    whose block membership changed)."""
+    import dataclasses
+    import jax.random as jr
+    from ltjax import state as st
+    from ltjax.config import Config
+    from ltjax.fields import FieldSet
+    from ltjax.physics import boundary as bd
+    from ltjax.step import StepContext, make_fused_external_steps
+
+    dtype = jnp.float32
+    us = 6
+    c = synth.make_solid_body_case(nx=41, ny=41, us=us, lx=100e3, ly=100e3,
+                                   h0=50.0, omega=5e-5, dtype=dtype)
+    grid = c.grid
+    dt = 1800.0
+    fs0 = synth.fieldset_for(c, t_center=0.5 * dt, dt=dt, dtype=dtype)
+    fs1 = synth.fieldset_for(c, t_center=1.5 * dt, dt=dt, dtype=dtype)
+    fsR = FieldSet(*(jnp.concatenate([a, b[2:3]], axis=0)
+                     for a, b in zip(fs0[:-1], fs1[:-1])),
+                   times=jnp.concatenate([fs0.times, fs1.times[2:3]]))
+    bounds = bd.build_boundaries(np.asarray(grid.mask_rho),
+                                 np.asarray(grid.x_rho),
+                                 np.asarray(grid.y_rho))
+    ctx = StepContext(grid=grid, bounds=bounds, polys=None, holes=None)
+    cfg = Config(numpar=256, dt=int(dt), idt=450, us=us, ws=us + 1,
+                 OpenOceanBoundary=True, dtype_pos="float32",
+                 reflect_iters=2, kernel_block=256, ext_sort_every=1)
+    cfgb = dataclasses.replace(cfg, sort_depth_bands=3, sort_band_height=8.0)
+
+    rng_ = np.random.default_rng(11)
+    n = 256
+    p = st.init_particles(rng_.uniform(38e3, 52e3, n),
+                          rng_.uniform(38e3, 52e3, n),
+                          rng_.uniform(-45.0, -2.0, n), dtype=dtype)
+    p = p._replace(status=jnp.full(n, st.ACTIVE, jnp.int32))
+
+    key = jr.key(0)
+    fa = make_fused_external_steps(ctx, cfg, key, 2, interpret=True)
+    fb = make_fused_external_steps(ctx, cfgb, key, 2, interpret=True)
+    pa = fa(p, fsR, 0.0, 0)
+    pb = fb(p, fsR, 0.0, 0)
+
+    assert np.array_equal(np.asarray(pb.status), np.asarray(pa.status))
+    ok = np.asarray(pa.status) == st.ACTIVE
+    assert ok.sum() > 0.9 * n
+    np.testing.assert_allclose(np.asarray(pb.x)[ok], np.asarray(pa.x)[ok],
+                               rtol=0, atol=0.5)
+    np.testing.assert_allclose(np.asarray(pb.y)[ok], np.asarray(pa.y)[ok],
+                               rtol=0, atol=0.5)
+    np.testing.assert_allclose(np.asarray(pb.z)[ok], np.asarray(pa.z)[ok],
+                               rtol=0, atol=1e-2)
