@@ -203,20 +203,39 @@ class Config:
     sort_depth_bands: int = 1     # >1: band the Hilbert sort by height
                                   #   above the seabed (band-major key,
                                   #   bands of sort_band_height metres,
-                                  #   top band open-ended).  Depth-shear
-                                  #   cases — sinking particles entering
-                                  #   the bottom log layer decelerate
-                                  #   while mid-column neighbours drift
-                                  #   on — otherwise mix fast and stopped
-                                  #   particles in one block and disperse
-                                  #   it past the kernel window (measured
-                                  #   0.85% -> 45% misses over 8 ext
-                                  #   steps).  Banding keeps blocks
-                                  #   velocity-coherent.  1 = off (the
-                                  #   bench-flow default; banding splits
-                                  #   Hilbert runs, so only depth-sheared
-                                  #   configs should pay for it); max 6
+                                  #   top band open-ended).  For runs
+                                  #   with a PERSISTENT depth-stratified
+                                  #   shear population (standing stock
+                                  #   in the bottom log layer under a
+                                  #   moving water column): stable band
+                                  #   membership keeps blocks velocity-
+                                  #   coherent (host window sim: 2 bands
+                                  #   cut mean misses 4.7% -> 1.0% at
+                                  #   120 particles/cell).  NOT a fix
+                                  #   for a sinking front TRANSITING the
+                                  #   layer: transit bands are thin and
+                                  #   transient, and splitting density
+                                  #   makes Hilbert runs ragged — on-
+                                  #   chip transit tests overflow the
+                                  #   patch EARLIER with banding at
+                                  #   <=100 particles/cell.  Transit
+                                  #   runs should raise patch capacity
+                                  #   instead (oob_frac=16 absorbs the
+                                  #   whole front; see BASELINE.md).
+                                  #   1 = off (default); max 6
     sort_band_height: float = 4.0 # metres above bottom per sort band
+    sort_band_log: bool = False   # log2-spaced bands instead of equal
+                                  #   slabs: boundaries at
+                                  #   sort_band_height * 2^k metres
+                                  #   (k = 0..n-2; lowest band below
+                                  #   sort_band_height).  The bottom
+                                  #   log layer's horizontal speed goes
+                                  #   as ln(height above bed), so
+                                  #   equal-log-height bands are
+                                  #   equal-speed bands — the right
+                                  #   split once particles LIVE inside
+                                  #   the layer (equal slabs only help
+                                  #   during the approach)
     oob_frac: int = 64            # exact-recompute capacity for window
                                   #   misses = numpar // oob_frac
                                   #   (steady-state miss rate ~1.05% on

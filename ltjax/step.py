@@ -334,6 +334,12 @@ def _sort_band(cfg: Config, grid: Grid, p: st.Particles, ci, cj):
     if cfg.sort_depth_bands <= 1:
         return None
     hab = p.z + grid.h[cj, ci]              # height above bottom [m]
+    if cfg.sort_band_log:
+        # boundaries at h*2^k: log-layer speed ~ ln(hab), so these are
+        # ~equal-speed bands (clip in sort_by_cell caps the top band)
+        return (jnp.floor(jnp.log2(jnp.maximum(hab, 1e-3)
+                                   / cfg.sort_band_height))
+                .astype(jnp.int32) + 1)
     return jnp.floor(hab / cfg.sort_band_height).astype(jnp.int32)
 
 

@@ -111,13 +111,16 @@ def test_banded_sort_key_no_overflow():
 
 
 def test_banded_sort_tames_depth_shear_dispersion():
-    """Host proxy of the kernel's window scheme under depth shear (the
-    round-4 sinking cliff: bottom log-layer particles stop while
-    mid-column neighbours drift on).  At production-like density,
-    band-major sorting must cut the steady window-miss rate by >2x vs
-    depth-mixed blocks (measured here ~4.7% -> ~1.0% mean).  At LOW
-    density banding loses (split Hilbert runs cover more area per
-    block) — that tradeoff is documented on config.sort_depth_bands.
+    """Host proxy of the kernel's window scheme under PERSISTENT
+    depth-stratified shear (a standing population in the bottom log
+    layer while mid-column neighbours drift on).  Here band membership
+    is stable, and at production-like density band-major sorting must
+    cut the steady window-miss rate by >2x vs depth-mixed blocks
+    (measured here ~4.7% -> ~1.0% mean).  Banding does NOT help the
+    TRANSIT case (a sinking front crossing the layer): there band
+    populations are transient and thin, and on-chip tests showed the
+    density splitting moves the first patch overflow EARLIER — see
+    config.sort_depth_bands for the full tradeoff.
     """
     BLOCK, WX, WY = 256, 8, 16
     NC, DENS, H0, DRIFT = 40, 120, 50.0, 6.0
