@@ -57,26 +57,30 @@ def build(numpar=1_000_000, nx=200, ny=200, us=20, dt=3600, idt=120,
         # which disperses Hilbert blocks (fast/stopped particles mix)
         # and overflows the static exact-patch capacity — measured
         # 0.85% -> 45% window misses over 8 external steps at
-        # sink=1e-3 in the host-side window simulation.  Depth-banded
-        # block sorting is the round-5 fix; overflow is LOUD (ERROR
-        # counts / ErrorFlag), never silent.
+        # sink=1e-3 in the host-side window simulation.  Transit-heavy
+        # runs size the patch capacity to the front (oob_frac 16-32
+        # completes the 4M transit with zero errors — BASELINE.md);
+        # overflow is LOUD (ERROR counts / ErrorFlag), never silent.
         kw = dict(Behavior=6, sink=2e-4, mortality=True, deadage=5e6)
     elif variant == "dvm":
         kw = dict(Behavior=3, swimslow=1e-3, swimfast=3e-3,
                   pediage=5e6)
     elif variant == "settle":
-        # sink rate: see the behavior variant.  oob_frac: settlement
-        # defers every eligible particle that touches a partial
-        # (polygon-rim) cell to the exact-PIP patch; the rim-cell
-        # dwell+flux population (~10k/ext step here) shares the patch
-        # capacity with window misses, so settlement-heavy runs size
-        # oob_frac for it (overflow is loud: ERROR counts)
+        # sink rate: see the behavior variant.  Patch capacity:
+        # settlement defers every eligible particle that touches a
+        # partial (polygon-rim) cell to the exact-PIP patch; the
+        # rim-cell dwell+flux population (~10k/ext step here) shares
+        # the patch capacity with window misses.  Capacity is AUTO
+        # (oob_frac=0 -> step.resolve_oob_frac sizes it from the rim
+        # occupancy of the release positions; overflow stays loud)
         kw = dict(Behavior=6, sink=2e-4, settlementon=True,
-                  pediage=0.0, oob_frac=24)
+                  pediage=0.0)
     elif variant == "salt":
-        # salinity-cued ontogenetic migration + SaltTempOn sampling:
-        # outside megakernel coverage -> measures the per-step path
-        # (VERDICT r3 weak #6: this cost was never published)
+        # salinity-cued ontogenetic migration + SaltTempOn sampling —
+        # runs IN the megakernel since round 4 (salt/temp record lanes,
+        # in-kernel dS/dz cue + post-step sampling); measures the cost
+        # of the 256-lane tables (16x16 window, 8-aligned DMA origins)
+        # plus the per-step sampling fit/eval
         kw = dict(Behavior=4, readSalt=True, SaltTempOn=True,
                   swimslow=1e-3, swimfast=3e-3, pediage=5e6,
                   Sgradient=0.5)
@@ -100,6 +104,7 @@ def build(numpar=1_000_000, nx=200, ny=200, us=20, dt=3600, idt=120,
         polys = stl.build_polygons(poly, np.asarray(bounds.x_edges),
                                    np.asarray(bounds.y_edges))
     ctx = StepContext(grid=grid, bounds=bounds, polys=polys, holes=holes)
+    from ltjax.step import resolve_oob_frac
     fs = synth.fieldset_window(case, -float(dt) / 2, float(dt), n_records,
                                dtype=jnp.float32)
     if variant == "turb":
@@ -120,6 +125,8 @@ def build(numpar=1_000_000, nx=200, ny=200, us=20, dt=3600, idt=120,
                           rng.uniform(z_lo, -5.0, numpar), dtype=dtype)
     status = jnp.full(numpar, st.ACTIVE, jnp.int32)
     p = p._replace(status=status)
+    cfg.oob_frac = resolve_oob_frac(cfg, ctx, np.asarray(p.x),
+                                    np.asarray(p.y))
     return cfg, ctx, fs, p
 
 
@@ -160,8 +167,10 @@ def main():
                 pp = fused1(pp, fs3, float(e * cfg.dt), e)
             return pp
     else:
-        # configs outside megakernel coverage (salt-cued behaviors,
-        # TST, SaltTempOn) run the per-external-step compiled call
+        # configs outside megakernel coverage (none of the bench
+        # variants today — all behavior types 0-7, settlement, and
+        # SaltTempOn are in-kernel; this branch serves non-uniform
+        # grids / non-pair2 precisions) run per-external-step calls
         one = make_external_step(ctx, cfg, jr.key(0))
 
         def step(pp):

@@ -63,6 +63,15 @@ class Config:
     OpenOceanBoundary: bool = True
     mortality: bool = False
     deadage: float = 1e30         # age of death [s]
+    stochastic_mortality: bool = False  # random death (constant hazard
+                                  #   1/deadage; expected lifetime =
+                                  #   deadage) instead of deterministic
+                                  #   death exactly AT deadage.
+                                  #   SURVEY.md SS2.1 #8 [conf: M]
+                                  #   reads the reference's mortality
+                                  #   as random; both readings are
+                                  #   selectable pending mount-return
+                                  #   verification (CONSTANTS.md)
     pediage: float = 0.0          # age competent to settle [s]
     swimstart: float = 0.0        # age swimming begins [s]
     swimslow: float = 0.0         # initial swim speed [m/s]
@@ -236,14 +245,22 @@ class Config:
                                   #   split once particles LIVE inside
                                   #   the layer (equal slabs only help
                                   #   during the approach)
-    oob_frac: int = 64            # exact-recompute capacity for window
-                                  #   misses = numpar // oob_frac
-                                  #   (steady-state miss rate ~1.05% on
-                                  #   the 1M bench; capacity must sit
-                                  #   clearly above it — overflow freezes
+    oob_frac: int = 0             # exact-recompute capacity for window
+                                  #   misses = numpar // oob_frac.
+                                  #   0 (default) = AUTO: derived from
+                                  #   the config by
+                                  #   step.resolve_oob_frac — base
+                                  #   n/64 (steady miss rate ~1%),
+                                  #   raised for sinking-transit
+                                  #   configs (sink*dt >= 1 m/ext)
+                                  #   and settlement rim-deferral
+                                  #   flux (BASELINE.md sizing rules).
+                                  #   Set > 0 to override.  Capacity
+                                  #   must sit clearly above the peak
+                                  #   demand — overflow freezes
                                   #   particles as ERROR, and frozen
                                   #   stragglers feed back into more
-                                  #   misses; see ltjax.spatial sort)
+                                  #   misses; see ltjax.spatial sort
     reflect_iters: int = 4        # fixed boundary-reflection iteration count
     mesh_particles: int = 1       # mesh axis size: particle data-parallel
     mesh_tiles: int = 1           # mesh axis size: domain tiles (eta strips)

@@ -68,7 +68,12 @@ _IDX_HSCALE = 12   # sqrt(2 * ConstantHTurb * idt)
 _IDX_VCONST = 13   # sqrt(2 * ConstantVTurb * idt / r_var), r_var = 1/3
 _IDX_SINKDZ = 14   # -sink * idt (behavior type 6 constant sinking)
 _IDX_DEADAGE = 15  # mortality age threshold [s] (inf when off)
-_IDX_MAXSTEP2 = 16  # (1.5 * min cell edge)^2 displacement guard
+_IDX_MAXSTEP2 = 16  # (1.5 * x cell edge)^2 displacement guard (x axis)
+_IDX_MAXSTEP2Y = 17  # (1.5 * y cell edge)^2 displacement guard (y axis).
+                    # GLOBAL scalars are correct here ONLY because the
+                    # megakernel is gated to uniform grids
+                    # (step.mode_flags), where they equal the per-cell
+                    # radii the XLA path reads from cell_rows lanes 3/4.
 _REFLECT_EPS = 1e-6
 
 
@@ -106,7 +111,9 @@ def params_static_ext(grid: Grid, bounds: Boundaries, z0m: float,
     head[_IDX_SINKDZ] = -sink * idt
     head[_IDX_DEADAGE] = deadage
     head[_IDX_IDT] = idt
-    head[_IDX_MAXSTEP2] = float(np.asarray(bounds.max_step2))
+    crows = np.asarray(bounds.cell_rows)
+    head[_IDX_MAXSTEP2] = float(crows[:, 3].min())
+    head[_IDX_MAXSTEP2Y] = float(crows[:, 4].min())
     inter = np.empty(2 * (us + ws), np.float64)
     inter[0:2 * us:2] = np.asarray(grid.s_rho, np.float64)
     inter[1:2 * us:2] = np.asarray(grid.Cs_r, np.float64)
@@ -217,9 +224,10 @@ def _seg_crosses_box(ax, ay, bx, by, x0, x1, y0, y1) -> np.ndarray:
     # Liang-Barsky clip of the parametric segment against the box
     dx = bx - ax
     dy = by - ay
-    t0 = np.zeros_like(ax)
-    t1 = np.ones_like(ax)
-    ok = np.ones_like(ax, bool)
+    shape = np.broadcast_shapes(np.shape(ax), np.shape(x0))
+    t0 = np.zeros(shape)
+    t1 = np.ones(shape)
+    ok = np.ones(shape, bool)
     for p, q in ((-dx, ax - x0), (dx, x1 - ax),
                  (-dy, ay - y0), (dy, y1 - ay)):
         par = np.abs(p) < 1e-30
@@ -247,55 +255,73 @@ def settle_lanes(polys, holes, x_edges, y_edges):
              to the pure XLA path).
     Reference: testSettlement point-in-polygon + initSettlement's
     element mapping (settlement_module.f90, SURVEY.md SS2.1 #9).
-    """
-    from ..physics.settlement import point_in_polygon
-    import jax.numpy as jnp
 
+    Pure host numpy, batched PER POLYGON over all its bbox-candidate
+    cells (the previous per-cell JAX point_in_polygon calls were one
+    device dispatch — and a retrace per distinct vertex count — per
+    cell x candidate, blowing up init time on production habitat files
+    with thousands of polygons; advisor finding r4-low).
+    """
     xe = np.asarray(x_edges, np.float64)
     ye = np.asarray(y_edges, np.float64)
     ny, nx = len(ye) - 1, len(xe) - 1
     cands = np.asarray(polys.cell_cands)            # (ny, nx, Cmax)
-    vx = np.asarray(polys.verts_x)
-    vy = np.asarray(polys.verts_y)
+    vx = np.asarray(polys.verts_x, np.float64)
+    vy = np.asarray(polys.verts_y, np.float64)
     pid = np.asarray(polys.poly_id)
     hc = (np.asarray(holes.cell_cands) if holes is not None else None)
+
+    crossed = np.zeros((ny, nx), bool)
+    n_cover = np.zeros((ny, nx), np.int32)
+    cover_pid = np.full((ny, nx), -1.0, np.float32)
+    for k in range(vx.shape[0]):
+        cj, ci = np.nonzero((cands == k).any(axis=-1))
+        if cj.size == 0:
+            continue
+        x0 = xe[ci]
+        x1 = xe[ci + 1]
+        y0 = ye[cj]
+        y1 = ye[cj + 1]
+        ax, ay = vx[k], vy[k]                       # (V,) padded loop
+        bx = np.roll(ax, -1)
+        by = np.roll(ay, -1)
+        # any polygon edge crossing the cell box => partial; (C, V)
+        cr = _seg_crosses_box(ax[None, :], ay[None, :],
+                              bx[None, :], by[None, :],
+                              x0[:, None], x1[:, None],
+                              y0[:, None], y1[:, None]).any(axis=1)
+        # all 4 cell corners inside => covering (numpy mirror of
+        # settlement.point_in_polygon's ray cast; padding by repeated
+        # vertices is a degenerate edge and contributes no crossing)
+        px = np.stack([x0, x1, x0, x1], axis=1)     # (C, 4)
+        py = np.stack([y0, y0, y1, y1], axis=1)
+        p = px[..., None]                           # (C, 4, 1)
+        q = py[..., None]
+        a_y = ay[None, None, :]
+        straddles = (a_y > q) != (by[None, None, :] > q)
+        dy = np.where(straddles, (by - ay)[None, None, :], 1.0)
+        x_cross = ax[None, None, :] + (q - a_y) * (
+            bx - ax)[None, None, :] / dy
+        inside = ((straddles & (p < x_cross)).sum(axis=-1) % 2 == 1)
+        covers = (~cr) & inside.all(axis=1)
+        crossed[cj, ci] |= cr
+        n_cover[cj, ci] += covers.astype(np.int32)
+        cover_pid[cj[covers], ci[covers]] = float(pid[k])
+        # corners all outside + no edge crossing => disjoint (bbox-only
+        # candidate): contributes neither crossing nor cover
+
+    has_cand = (cands >= 0).any(axis=-1)
     state = np.zeros((ny, nx), np.float32)
-    out_pid = np.full((ny, nx), -1.0, np.float32)
-    for j in range(ny):
-        for i in range(nx):
-            ks = cands[j, i]
-            ks = ks[ks >= 0]
-            if ks.size == 0:
-                continue
-            if hc is not None and (hc[j, i] >= 0).any():
-                state[j, i] = 2.0
-                continue
-            x0, x1 = xe[i], xe[i + 1]
-            y0, y1 = ye[j], ye[j + 1]
-            cx = np.asarray([x0, x1, x0, x1])
-            cy = np.asarray([y0, y0, y1, y1])
-            covering = []
-            crossed = False
-            for k in ks:
-                # any edge of candidate k crossing the cell => partial
-                ax, ay = vx[k], vy[k]
-                bx = np.roll(ax, -1)
-                by = np.roll(ay, -1)
-                if _seg_crosses_box(ax, ay, bx, by, x0, x1, y0, y1).any():
-                    crossed = True
-                    break
-                inside = np.asarray(point_in_polygon(
-                    jnp.asarray(vx[k])[None, :], jnp.asarray(vy[k])[None, :],
-                    jnp.asarray(cx), jnp.asarray(cy)))
-                if inside.all():
-                    covering.append(k)
-                # corners all outside + no edge crossing => disjoint
-            if crossed or len(covering) > 1:
-                state[j, i] = 2.0
-            elif len(covering) == 1:
-                state[j, i] = 1.0
-                out_pid[j, i] = float(pid[covering[0]])
-            # else: candidates by bbox only, cell actually clear -> 0
+    partial = crossed | (n_cover > 1)
+    state[has_cand & partial] = 2.0
+    full = has_cand & ~partial & (n_cover == 1)
+    state[full] = 1.0
+    out_pid = np.where(full, cover_pid, -1.0).astype(np.float32)
+    if hc is not None:
+        # any hole candidate near the cell => defer to the exact path
+        hole_near = (hc >= 0).any(axis=-1) & has_cand
+        state[hole_near] = 2.0
+        out_pid[hole_near] = -1.0
     return state, out_pid
 
 
@@ -884,12 +910,15 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                 stuck = stucki != 0
                 oob = oobi2 != 0
                 # max-displacement guard (mirrors physics.boundary.reflect):
-                # a candidate displacement beyond the 3x3 bucket's
-                # guaranteed-detection radius could tunnel past segments
-                # not in its bucket/window -> flag ERROR, never silent
-                d2c = (x1 - xv) * (x1 - xv) + (y1 - yv) * (y1 - yv)
-                stuck = stuck | (act & ~exited
-                                 & (d2c > par_ref[_IDX_MAXSTEP2]))
+                # a candidate per-axis displacement beyond the 3x3
+                # bucket's guaranteed-detection radius could tunnel past
+                # segments not in its bucket/window -> flag ERROR, never
+                # silent
+                over_d = (((x1 - xv) * (x1 - xv)
+                           > par_ref[_IDX_MAXSTEP2])
+                          | ((y1 - yv) * (y1 - yv)
+                             > par_ref[_IDX_MAXSTEP2Y]))
+                stuck = stuck | (act & ~exited & over_d)
 
                 # vertical reflection about zeta/h at the new column (t+idt)
                 tx = (xr - par_ref[_IDX_X0]) * par_ref[_IDX_INVDX]

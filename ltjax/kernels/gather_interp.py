@@ -381,36 +381,50 @@ def _eval_spline_deriv_const(sq, C: dict, yk, z2, ds):
     return dyq + hsv * (s0 * ds(B1) - s1 * ds(B2))
 
 
+# One-hot builders.  All three construct the (wy*wx, P) weight matrix
+# DIRECTLY from the flat window-cell index k = lj*wx + li compared
+# against a (wc, P) sublane iota — a handful of elementwise compare/
+# select ops and NO cross-sublane relayouts.  The previous formulation
+# (separate (wy, P)/(wx, P) row/col one-hots combined via broadcast +
+# reshape + pltpu.repeat + multiply) lowered to sublane-broadcast
+# relayouts that dominated the build cost (~0.67 ms per (128, 1024)
+# f32 build measured by benchmarks/kernel_anatomy.py — the largest
+# VPU item after the vertical spline, BASELINE.md round-4 anatomy).
+# The produced matrices are bit-identical to the old ones.
+
+
 def make_bilinear_onehot(li, lj, fx, fy, P: int, wy: int = WY,
                          wx: int = WX):
     """Bilinear one-hot weight matrix W (wy*wx, P) from window-local
-    cell indices + fractions (all (PS, 128) f32)."""
-    li_l = li.reshape(1, P)
-    lj_l = lj.reshape(1, P)
+    cell indices + fractions (all (PS, 128) f32).
+
+    Nonzeros per particle column: (1-fx)(1-fy) at k, fx(1-fy) at k+1,
+    (1-fx)fy at k+wx, fx*fy at k+wx+1, with k = lj*wx + li (li <=
+    wx-2, lj <= wy-2 by the callers' clips, so all four stay in 0..wc-1
+    and the flat-index compares need no row/col separation)."""
+    wc = wy * wx
+    k = (lj * float(wx) + li).reshape(1, P)
     fx_l = fx.reshape(1, P)
     fy_l = fy.reshape(1, P)
-    rr = jax.lax.broadcasted_iota(jnp.int32, (wy, P), 0).astype(jnp.float32)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (wx, P), 0).astype(jnp.float32)
-    roh = (jnp.where(rr == lj_l, 1.0 - fy_l, 0.0)
-           + jnp.where(rr == lj_l + 1.0, fy_l, 0.0))      # (wy, P)
-    coh = (jnp.where(cc == li_l, 1.0 - fx_l, 0.0)
-           + jnp.where(cc == li_l + 1.0, fx_l, 0.0))      # (wx, P)
-    # row-major window flattening: wt[rj*wx + ci] = roh[rj] * coh[ci]
-    # (pltpu.repeat has TILE semantics, so roh expands via broadcast)
-    return (jnp.broadcast_to(roh[:, None, :], (wy, wx, P)).reshape(wy * wx, P)
-            * pltpu.repeat(coh, wy, 0))                    # (wy*wx, P)
+    idx = jax.lax.broadcasted_iota(
+        jnp.int32, (wc, P), 0).astype(jnp.float32)
+    w00 = (1.0 - fx_l) * (1.0 - fy_l)
+    w10 = fx_l * (1.0 - fy_l)
+    w01 = (1.0 - fx_l) * fy_l
+    w11 = fx_l * fy_l
+    return (jnp.where(idx == k, w00, 0.0)
+            + jnp.where(idx == k + 1.0, w10, 0.0)
+            + jnp.where(idx == k + float(wx), w01, 0.0)
+            + jnp.where(idx == k + float(wx + 1), w11, 0.0))
 
 
 def make_cell_onehot(li, lj, P: int, wy: int = WY, wx: int = WX):
     """{0,1} cell-selection matrix (wy*wx, P) from window-local indices."""
-    li_l = li.reshape(1, P)
-    lj_l = lj.reshape(1, P)
-    rr = jax.lax.broadcasted_iota(jnp.int32, (wy, P), 0).astype(jnp.float32)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (wx, P), 0).astype(jnp.float32)
-    roh = jnp.where(rr == lj_l, 1.0, 0.0)
-    coh = jnp.where(cc == li_l, 1.0, 0.0)
-    return (jnp.broadcast_to(roh[:, None, :], (wy, wx, P)).reshape(wy * wx, P)
-            * pltpu.repeat(coh, wy, 0))
+    wc = wy * wx
+    k = (lj * float(wx) + li).reshape(1, P)
+    idx = jax.lax.broadcasted_iota(
+        jnp.int32, (wc, P), 0).astype(jnp.float32)
+    return jnp.where(idx == k, 1.0, 0.0)
 
 
 def make_rowpair_onehot(li, lj, fy_q, P: int, wy: int = WY, wx: int = WX):
@@ -423,17 +437,15 @@ def make_rowpair_onehot(li, lj, fy_q, P: int, wy: int = WY, wx: int = WX):
     (no Σw≠1 absolute-error term — the flaw of plain bf16 weights).
     The x-corner selection is exact {0,1}; fx blends post-matmul on the
     VPU in f32 (pair-packed windows deliver both x-corners per row).
-    """
-    li_l = li.reshape(1, P)
-    lj_l = lj.reshape(1, P)
+    Nonzeros per column: 1-fy_q at k = lj*wx + li, fy_q at k + wx."""
+    wc = wy * wx
+    k = (lj * float(wx) + li).reshape(1, P)
     fy_l = fy_q.reshape(1, P)
-    rr = jax.lax.broadcasted_iota(jnp.int32, (wy, P), 0).astype(jnp.float32)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (wx, P), 0).astype(jnp.float32)
-    roh = (jnp.where(rr == lj_l, 1.0 - fy_l, 0.0)
-           + jnp.where(rr == lj_l + 1.0, fy_l, 0.0)).astype(jnp.bfloat16)
-    coh = jnp.where(cc == li_l, 1.0, 0.0).astype(jnp.bfloat16)
-    return (jnp.broadcast_to(roh[:, None, :], (wy, wx, P))
-            .reshape(wy * wx, P) * pltpu.repeat(coh, wy, 0))
+    idx = jax.lax.broadcasted_iota(
+        jnp.int32, (wc, P), 0).astype(jnp.float32)
+    return (jnp.where(idx == k, 1.0 - fy_l, 0.0)
+            + jnp.where(idx == k + float(wx), fy_l, 0.0)
+            ).astype(jnp.bfloat16)
 
 
 def pair_dot(win, wt_bf16):
@@ -819,13 +831,14 @@ def rk4_displacement_fused(grid: Grid, vtabs, x, y, z, sigma: float,
     cap = min(n, max(256, n // overflow_frac))
     rank = jnp.cumsum(oob.astype(jnp.int32)) - 1
     overflow = oob & (rank >= cap)
+    # fill_value=n: out of bounds on purpose — gathers clamp (the row is
+    # unused) and scatters drop, avoiding full-batch sentinel copies
     idxs = jnp.nonzero(oob, size=cap, fill_value=n)[0]
-    xp = jnp.concatenate([x, x[:1]])
-    yp = jnp.concatenate([y, y[:1]])
-    zp = jnp.concatenate([z, z[:1]])
     dxf, dyf, dzf = pk.rk4_displacement_collapsed(
-        grid, vtabs, xp[idxs], yp[idxs], zp[idxs], sigma, z0m, idt)
-    dx = jnp.concatenate([dx, dx[:1]]).at[idxs].set(dxf)[:n]
-    dy = jnp.concatenate([dy, dy[:1]]).at[idxs].set(dyf)[:n]
-    dz = jnp.concatenate([dz, dz[:1]]).at[idxs].set(dzf)[:n]
+        grid, vtabs, x.at[idxs].get(mode="clip"),
+        y.at[idxs].get(mode="clip"), z.at[idxs].get(mode="clip"),
+        sigma, z0m, idt)
+    dx = dx.at[idxs].set(dxf, mode="drop")
+    dy = dy.at[idxs].set(dyf, mode="drop")
+    dz = dz.at[idxs].set(dzf, mode="drop")
     return dx, dy, dz, overflow

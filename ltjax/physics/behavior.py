@@ -69,6 +69,7 @@ class BehaveParams(NamedTuple):
     thresh: float = 0.0166
     idt: float = 120.0
     sigma: float = 0.0
+    stochastic: bool = False
 
 
 def swim_speed(age, p: BehaveParams, dtype):
@@ -190,5 +191,20 @@ def behave(grid: Grid, fields: FieldSet, base_key, step, pids,
 
     dies = jnp.zeros(n, bool)
     if p.mortality:
-        dies = age >= p.deadage
+        if p.stochastic:
+            # stochastic mortality (SURVEY.md SS2.1 #8 [conf: M] reads
+            # the reference as RANDOM death around the competency
+            # window): constant hazard 1/deadage, so the per-step
+            # death probability is 1 - exp(-idt/deadage) and the
+            # EXPECTED lifetime equals the deterministic mode's exact
+            # lifetime.  Counter-based DEATH substream: bit-repeatable
+            # across runs/shardings, independent of the walk draws.
+            u = rng.uniform(base_key, step, rng.DEATH, pids, (),
+                            0.0, 1.0, dtype)
+            p_die = -jnp.expm1(-idt / jnp.asarray(p.deadage, dtype))
+            dies = (age >= 0.0) & (u < p_die)
+        else:
+            # deterministic death exactly at deadage (the default;
+            # [conf: M] — see module docstring)
+            dies = age >= p.deadage
     return dx, dy, dz, dies

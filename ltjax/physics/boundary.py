@@ -52,7 +52,9 @@ class Boundaries(NamedTuple):
     y_edges: jax.Array      # (Ny+1,) cell-edge y coordinates
     water: jax.Array        # (Ny, Nx) mask_rho as int32
     cell_rows: jax.Array    # (Ny*Nx, 8 + 8*S_max) flat per-cell rows:
-                            #   lane 0 = water flag; slot s at 8+8s =
+                            #   lane 0 = water flag; lane 3 = per-cell
+                            #   squared displacement-guard radius
+                            #   (_cell_max_step2); slot s at 8+8s =
                             #   [ax, ay, bx, by, kind, valid, 0, 0].
                             #   One row gather serves the whole reflect
                             #   pass (element gathers through id arrays
@@ -61,12 +63,12 @@ class Boundaries(NamedTuple):
     uniform: bool = False   # static: edge axes exactly uniform (fast locate)
     curv: "CurvMap | None" = None  # curvilinear inverse map (cell_of)
     curv_tol2: "jax.Array | None" = None  # squared inside-mesh residual tol
-    max_step2: "jax.Array | None" = None  # (1.5 * min cell edge)^2: the
-                            #   3x3 bucket's guaranteed-detection radius;
-                            #   a longer single-step displacement COULD
-                            #   tunnel past segments outside its bucket,
-                            #   so reflect() flags it stuck (-> ERROR)
-                            #   instead of silently trusting luck
+    max_step2: "jax.Array | None" = None  # GLOBAL (1.5 * min cell
+                            #   edge)^2 — kernel scalar fallback only
+                            #   (the megakernel runs on uniform grids,
+                            #   where it equals the per-cell radius);
+                            #   reflect() uses the per-cell lane-3
+                            #   radius, see _cell_max_step2
 
     @property
     def n_segments(self) -> int:
@@ -166,8 +168,14 @@ def _assemble(mask: np.ndarray, psi_x: np.ndarray, psi_y: np.ndarray,
             bucket[j, i, :len(ids)] = ids
 
     # flat per-cell gather rows: [water, 0*7, (ax,ay,bx,by,kind,valid,0,0)*]
+    # lanes 3/4 carry the per-cell squared displacement-guard radii
+    # (x/y axis; lanes 1/2 are the settlement lanes, written later by
+    # ext_step.boundary_rows_table)
     rows = np.zeros((ny * nx, 8 + 8 * s_max), dtype)
     rows[:, 0] = mask.reshape(-1).astype(dtype)
+    ms2x, ms2y = _cell_max_step2(psi_x, psi_y)
+    rows[:, 3] = ms2x.reshape(-1)
+    rows[:, 4] = ms2y.reshape(-1)
     for j in range(ny):
         for i in range(nx):
             for s, sid in enumerate(cell_lists[j][i]):
@@ -176,6 +184,54 @@ def _assemble(mask: np.ndarray, psi_x: np.ndarray, psi_y: np.ndarray,
                     seg_a[sid, 0], seg_a[sid, 1], seg_b[sid, 0],
                     seg_b[sid, 1], float(seg_kind[sid]), 1.0]
     return seg_a, seg_b, seg_kind, bucket, rows
+
+
+def _min3x3(a: np.ndarray) -> np.ndarray:
+    """3x3-neighborhood minimum (edge-padded)."""
+    p = np.pad(a, 1, mode="edge")
+    m = a
+    for dj in (-1, 0, 1):
+        for di in (-1, 0, 1):
+            m = np.minimum(m, p[1 + dj:p.shape[0] - 1 + dj,
+                               1 + di:p.shape[1] - 1 + di])
+    return m
+
+
+def _cell_max_step2(psi_x: np.ndarray, psi_y: np.ndarray):
+    """Per-cell squared displacement-guard radii (ms2x, ms2y), each
+    (Ny, Nx).
+
+    The 3x3 segment bucket of a particle's pre-move cell guarantees
+    crossing detection only while the path stays within the 3x3 block
+    — i.e. PER AXIS, |dx| <= ~1.5 local x-edges AND |dy| <= ~1.5 local
+    y-edges — so the guard radii must be LOCAL (3x3-neighborhood min,
+    matching the bucket extent).  A global-min isotropic radius (the
+    round-4 scheme) falsely froze ordinary displacements in the coarse
+    cells of variable-resolution grids, where edge lengths commonly
+    vary 10-100x (estuary ROMS grids; advisor finding r4-high), and an
+    isotropic local radius would still falsely freeze along the long
+    axis of anisotropic cells.
+
+    On non-axis-aligned (curvilinear) meshes the physical displacement
+    axes don't align with the logical cell axes, so both lanes fall
+    back to the conservative local min edge — still local, just
+    isotropic."""
+    # edge lengths of the psi (corner) mesh
+    hx = np.hypot(np.diff(psi_x, axis=1), np.diff(psi_y, axis=1))  # (ny+1, nx)
+    vy = np.hypot(np.diff(psi_x, axis=0), np.diff(psi_y, axis=0))  # (ny, nx+1)
+    cell_x = np.minimum(hx[:-1, :], hx[1:, :])                     # (ny, nx)
+    cell_y = np.minimum(vy[:, :-1], vy[:, 1:])
+    axis_aligned = (np.ptp(psi_x, axis=0).max() < 1e-9 * max(
+        1.0, np.abs(psi_x).max())
+        and np.ptp(psi_y, axis=1).max() < 1e-9 * max(
+            1.0, np.abs(psi_y).max()))
+    if axis_aligned:
+        rx = 1.5 * _min3x3(cell_x)
+        ry = 1.5 * _min3x3(cell_y)
+    else:
+        r = 1.5 * _min3x3(np.minimum(cell_x, cell_y))
+        rx = ry = r
+    return (rx * rx).astype(np.float64), (ry * ry).astype(np.float64)
 
 
 def build_boundaries(mask_rho, x_rho, y_rho, closed_edges=False,
@@ -309,10 +365,15 @@ def reflect(bounds: Boundaries, x0, y0, x1, y1, open_exits: bool,
 
     nx_cells = bounds.water.shape[1]
     s_max = (bounds.cell_rows.shape[1] - 8) // 8
+    ms2 = None
 
-    for _ in range(n_iter):
+    for it in range(n_iter):
         ci, cj = cell_of(bounds, px0, py0)
         rows = bounds.cell_rows[cj * nx_cells + ci]     # (N, 8+8*S_max)
+        if it == 0:
+            # per-cell displacement-guard radii of the PRE-move cell
+            # (lanes 3/4, _cell_max_step2) — used by the guard below
+            ms2 = (rows[:, 3].astype(dtype), rows[:, 4].astype(dtype))
         slots = rows[:, 8:].reshape(-1, s_max, 8).astype(dtype)
         ax = slots[..., 0]
         ay = slots[..., 1]
@@ -403,14 +464,20 @@ def reflect(bounds: Boundaries, x0, y0, x1, y1, open_exits: bool,
     # --- max-displacement guard ------------------------------------------
     # The midpoint test above still misses a >=2-cell jump across a thin
     # spit with BOTH midpoint and endpoint in water.  The 3x3 bucket
-    # guarantees crossing detection only within ~1.5 cells of the
+    # guarantees crossing detection only within ~1.5 LOCAL cells of the
     # pre-move cell, so any longer single-step displacement is flagged
-    # stuck (-> ERROR upstream): loud, never a silent tunnel.  Runs
-    # whose flow legitimately moves particles further per internal step
-    # violate the bucket assumption and must reduce idt.
+    # stuck (-> ERROR upstream): loud, never a silent tunnel.  The
+    # thresholds are the PRE-MOVE CELL's own PER-AXIS radii (cell_rows
+    # lanes 3/4), not the global minimum — on variable-resolution grids
+    # a coarse offshore cell legitimately hosts displacements far
+    # beyond the finest river cell's radius (advisor finding r4-high).
+    # Runs whose flow legitimately moves particles further per internal
+    # step than 1.5 local cells violate the bucket assumption and must
+    # reduce idt.
     if bounds.max_step2 is not None:
-        d2 = (x1 - x0) ** 2 + (y1 - y0) ** 2
-        stuck = stuck | (~exited & (d2 > bounds.max_step2))
+        ms2x, ms2y = ms2
+        over = (((x1 - x0) ** 2 > ms2x) | ((y1 - y0) ** 2 > ms2y))
+        stuck = stuck | (~exited & over)
     return px1, py1, hit_land, exited, stuck
 
 

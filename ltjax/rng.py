@@ -27,7 +27,10 @@ import jax.random as jr
 HTURB = 0
 VTURB = 1
 BEHAVE = 2
-MORTALITY = 3
+MORTALITY = 3   # behavior random-walk mixing draw
+DEATH = 4       # stochastic-mortality survival draw (Config.
+                #   stochastic_mortality; independent of MORTALITY so
+                #   turning the mode on never perturbs the walk)
 
 # plain Python int (a module-level jnp scalar would be a captured
 # device constant, which Pallas kernels reject)

@@ -211,7 +211,11 @@ def run(cfg: Config, resume: bool = False,
             "t_base", recs[0]["time"] - (global_rec - 3) * cfg.dt)
     timing.add("hydro_init", time.perf_counter() - t0)
 
-    from .step import make_fused_external_steps, mode_flags
+    from .step import make_fused_external_steps, mode_flags, resolve_oob_frac
+    # resolve the auto patch capacity ONCE with the release positions
+    # (BASELINE.md sizing rules) so every compiled step uses it
+    cfg.oob_frac = resolve_oob_frac(cfg, ctx, np.asarray(particles.x),
+                                    np.asarray(particles.y))
     _, _, use_mega = mode_flags(ctx, cfg)
     n_fuse = max(1, cfg.ext_fuse) if use_mega else 1
     prefetch = (Prefetcher(series.next_record, depth=max(2, n_fuse + 1))
@@ -390,7 +394,8 @@ def run_sharded(cfg: Config, resume: bool = False,
     series = RomsSeries(cfg, paths=series_paths, eta_slice=eta_rows)
     tiled = shard.build_tiled_static(grid, spec)
     base_key = jr.key(cfg.seed)
-    from .step import mode_flags as _mf
+    from .step import mode_flags as _mf, resolve_oob_frac as _rof
+    cfg.oob_frac = _rof(cfg, ctx)   # auto patch capacity (uniform est.)
     mega = (shard.build_mega_tiled(ctx, cfg, spec)
             if _mf(ctx, cfg)[2] else None)
     step = shard.make_tiled_step(ctx, cfg, spec, tiled, mesh, base_key,

@@ -56,7 +56,8 @@ def make_params(cfg: Config):
         swimfast=cfg.swimfast, Sgradient=cfg.Sgradient, sink=cfg.sink,
         Hswimspeed=cfg.Hswimspeed, Swimdepth=cfg.Swimdepth,
         twistart=cfg.twistart, twiend=cfg.twiend, Em=cfg.Em, Kp=cfg.Kp,
-        thresh=cfg.thresh, idt=float(cfg.idt), sigma=cfg.tension_sigma)
+        thresh=cfg.thresh, idt=float(cfg.idt), sigma=cfg.tension_sigma,
+        stochastic=cfg.stochastic_mortality)
     return adv, turb, beh
 
 
@@ -283,6 +284,71 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
         hit_land=hit_land, hit_bottom=hit_bottom, salt=salt, temp=temp)
 
 
+def resolve_oob_frac(cfg: Config, ctx: StepContext,
+                     x0=None, y0=None) -> int:
+    """Auto-size the exact-recompute patch capacity from the config
+    (returns the equivalent ``oob_frac``; cfg.oob_frac > 0 overrides).
+
+    The patch absorbs window misses AND settlement rim-cell deferrals;
+    overflow freezes particles as ERROR (loud, fatal under
+    ErrorFlag=0), so the capacity must sit clearly above the expected
+    peak.  Sizing rules (all measured, BASELINE.md):
+
+      * base n/64 (~1.6%): clearly above the ~1% steady miss rate of
+        the aspect-sorted production window;
+      * sinking transit (Behavior 6): the front crossing the bottom
+        log layer disperses Hilbert blocks and misses peak near 2-3% —
+        sink*dt >= 1 m/ext-step raises capacity to n/32, >= 6 m to
+        n/16 (oob_frac 32 and 16 both complete the measured 4M transit
+        stress with ZERO errors at ~unchanged wall clock);
+      * settlement: every pediage-eligible particle in a partial
+        (polygon-rim) habitat cell defers to the exact point-in-polygon
+        patch each step, so capacity adds 4x the initial rim-cell
+        occupancy (per-cell histogram of the release positions when
+        given; 8x the uniform-density estimate otherwise — release
+        clustering concentrates density above the domain mean).
+
+    Drivers call this once with the release positions before building
+    the compiled steps; _mega_external_step falls back to the
+    position-free estimate when the config still says auto.
+    """
+    if cfg.oob_frac > 0:
+        return cfg.oob_frac
+    import numpy as np
+    n = cfg.numpar
+    frac = 64
+    if cfg.Behavior == 6 and cfg.sink > 0:
+        dz_ext = float(cfg.sink) * float(cfg.dt)
+        if dz_ext >= 6.0:
+            frac = 16
+        elif dz_ext >= 1.0:
+            frac = 32
+    cap = max(256, n // frac)
+    if cfg.settlementon and ctx.polys is not None:
+        from .kernels import ext_step as es
+        state, _ = es.settle_lanes(ctx.polys, ctx.holes,
+                                   ctx.bounds.x_edges,
+                                   ctx.bounds.y_edges)
+        rim = state == 2.0
+        n_rim = int(rim.sum())
+        if n_rim:
+            xe = np.asarray(ctx.bounds.x_edges)
+            ye = np.asarray(ctx.bounds.y_edges)
+            if x0 is not None:
+                cj = np.clip(np.searchsorted(ye, np.asarray(y0)) - 1,
+                             0, rim.shape[0] - 1)
+                ci = np.clip(np.searchsorted(xe, np.asarray(x0)) - 1,
+                             0, rim.shape[1] - 1)
+                counts = np.zeros(rim.shape, np.int64)
+                np.add.at(counts, (cj, ci), 1)
+                occ = 4 * int(counts[rim].sum())
+            else:
+                water = max(int(np.asarray(ctx.bounds.water).sum()), 1)
+                occ = 8 * int(np.ceil(n * n_rim / water))
+            cap += occ
+    return max(1, n // max(cap, 1))
+
+
 def boundary_s_max(bounds: bd.Boundaries) -> int:
     """True boundary-segment slot count of the packed cell rows (the
     lanes beyond ``8 + 8*s_max`` are 128-multiple DMA padding).  Single
@@ -319,8 +385,12 @@ def mode_flags(ctx: StepContext, cfg: Config):
     needs_salt = cfg.SaltTempOn or cfg.Behavior in (4, 5)
     salt_ok = (cfg.kernel_precision == "pair2" and cfg.kernel_sfast
                and _affine_ladders(ctx.grid) is not None)
+    # stochastic mortality stays on the per-step path (its DEATH draw
+    # is not in the kernel's rngk layout; deterministic mortality — the
+    # default — is in-kernel)
     use_mega = (use_kernel
-                and (not needs_salt or salt_ok))
+                and (not needs_salt or salt_ok)
+                and not (cfg.mortality and cfg.stochastic_mortality))
     return use_fast, use_kernel, use_mega
 
 
@@ -598,7 +668,9 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
     # under ErrorFlag=0.  (A lax.cond full-batch fallback would get its
     # HBM budgeted at compile time: 4x N x 189 gather temps OOM'd the
     # chip at 10M particles.)
-    cap = min(n, max(256, n // cfg.oob_frac))
+    frac = (cfg.oob_frac if cfg.oob_frac > 0
+            else resolve_oob_frac(cfg, ctx))
+    cap = min(n, max(256, n // frac))
     # Patch interpolation mode: "records" gathers ~3x the rows per
     # particle (3 raw records per stage) but builds nothing grid-sized;
     # "collapsed" pays stage-table builds (O(grid cells x HL)
@@ -640,12 +712,16 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
     rank = jnp.cumsum(oob.astype(jnp.int32)) - 1
     overflow = oob & (rank >= cap)
     idxs = jnp.nonzero(oob, size=cap, fill_value=n)[0]
-    sub0 = jax.tree.map(
-        lambda a: jnp.concatenate([a, a[-1:]])[idxs], p)
+    # fill_value=n is out of bounds on purpose: gathers clamp (the
+    # clamped row's value is never used) and scatters DROP — the
+    # previous concatenate-a-sentinel-slot scheme copied every (n,)
+    # array twice per field (24 full-batch copies, measured 14 ms/ext
+    # at 1M — benchmarks/patch_anatomy.py)
+    sub0 = jax.tree.map(lambda a: a.at[idxs].get(mode="clip"), p)
     sub = run_subset(sub0)
 
     def scat(dst, src):
-        return jnp.concatenate([dst, dst[-1:]]).at[idxs].set(src)[:n]
+        return dst.at[idxs].set(src, mode="drop")
 
     out = out._replace(
         x=scat(out.x, sub.x), y=scat(out.y, sub.y),

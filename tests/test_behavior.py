@@ -143,3 +143,46 @@ def test_surface_irradiance_shape():
     e_noon = bh.surface_irradiance(12.0 * 3600, p, jnp.float64)
     assert float(e_night) == 0.0
     assert float(e_noon) > 0.9 * p.Em
+
+
+def test_stochastic_mortality_rate_and_determinism():
+    """Config-selectable random death (CONSTANTS.md row 9): constant
+    hazard 1/deadage -> per-step death probability 1-exp(-idt/deadage),
+    expected lifetime = deadage (matches the deterministic mode in
+    expectation); counter-based DEATH substream -> bit-repeatable."""
+    n = 20000
+    case, fs, x, y, zeta, h, pids, cur = _setup(n=n)
+    deadage = 7200.0
+    idt = 60.0
+    p = _params(behavior=0, mortality=True, deadage=deadage,
+                stochastic=True, idt=idt)
+    z = jnp.full(n, -20.0, jnp.float64)
+    age = jnp.full(n, 100.0, jnp.float64)   # all alive, all at risk
+    _, _, _, dies = bh.behave(case.grid, fs, jr.key(6), 3, pids, x, y, z,
+                              0.0, age, zeta, h, cur, p)
+    frac = float(jnp.mean(dies))
+    p_die = -np.expm1(-idt / deadage)       # ~0.00830
+    # binomial(20000, 0.0083): sd ~ 6.4e-4 -> +-5 sd window
+    assert abs(frac - p_die) < 5 * np.sqrt(p_die * (1 - p_die) / n), frac
+
+    # bit-repeatable: same (key, step, pid) -> same draw
+    _, _, _, dies2 = bh.behave(case.grid, fs, jr.key(6), 3, pids, x, y, z,
+                               0.0, age, zeta, h, cur, p)
+    np.testing.assert_array_equal(np.asarray(dies), np.asarray(dies2))
+    # different step -> different draw pattern
+    _, _, _, dies3 = bh.behave(case.grid, fs, jr.key(6), 4, pids, x, y, z,
+                               0.0, age, zeta, h, cur, p)
+    assert not np.array_equal(np.asarray(dies), np.asarray(dies3))
+
+    # the walk draws are untouched by the mode (independent substream):
+    # type-1 displacement identical with stochastic mortality on/off
+    p_on = _params(behavior=1, mortality=True, deadage=deadage,
+                   stochastic=True, idt=idt)
+    p_off = _params(behavior=1, mortality=True, deadage=deadage,
+                    stochastic=False, idt=idt)
+    zdeep = jnp.full(n, -30.0, jnp.float64)
+    _, _, dz_on, _ = bh.behave(case.grid, fs, jr.key(6), 3, pids, x, y,
+                               zdeep, 0.0, age, zeta, h, cur, p_on)
+    _, _, dz_off, _ = bh.behave(case.grid, fs, jr.key(6), 3, pids, x, y,
+                                zdeep, 0.0, age, zeta, h, cur, p_off)
+    np.testing.assert_array_equal(np.asarray(dz_on), np.asarray(dz_off))

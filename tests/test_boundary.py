@@ -171,3 +171,41 @@ def test_tunnel_guard_no_false_positive_on_reflection():
     assert int(hits[0]) >= 1
     assert not bool(stuck[0])
     assert float(xr[0]) < 5.5   # reflected back into water
+
+
+def test_displacement_guard_is_local_on_variable_grids():
+    """Advisor r4-high: the max-displacement guard must use the
+    PRE-MOVE CELL's local detection radius, not the global minimum.
+    On a variable-resolution grid (fine cells on one side, 10x coarser
+    on the other) an ordinary displacement in a coarse cell exceeds
+    the finest cell's radius and must NOT be flagged stuck."""
+    n = 12
+    mask = np.ones((n, n), np.int32)
+    # x axis: 6 fine (dx=1) then 6 coarse (dx=10) cells
+    x = np.concatenate([np.arange(6.0), 6.0 + 10.0 * np.arange(1, 7)])
+    y = np.arange(n, dtype=np.float64)
+    b = bd.build_boundaries(mask, x, y, closed_edges=True)
+
+    # coarse-side displacement of 4 m: >> 1.5 * min edge (1.5 m) but
+    # << 1.5 * local edge (15 m) -> must stay clean
+    x0 = jnp.asarray([40.0])
+    y0 = jnp.asarray([5.0])
+    x1 = jnp.asarray([44.0])
+    y1 = jnp.asarray([5.0])
+    _, _, _, _, stuck = bd.reflect(b, x0, y0, x1, y1,
+                                   open_exits=False, n_iter=4)
+    assert not bool(stuck[0])
+
+    # fine-side displacement of 4 m: beyond the local 1.5-cell radius
+    # -> flagged (bucket can no longer guarantee crossing detection)
+    x0f = jnp.asarray([1.0])
+    x1f = jnp.asarray([5.0])
+    _, _, _, _, stuck_f = bd.reflect(b, x0f, y0, x1f, y1,
+                                     open_exits=False, n_iter=4)
+    assert bool(stuck_f[0])
+
+    # rows lane 3 really is per-cell: coarse-cell radius^2 = (15)^2,
+    # fine-cell radius^2 = (1.5)^2
+    rows = np.asarray(b.cell_rows).reshape(n, n, -1)
+    np.testing.assert_allclose(rows[5, 1, 3], 1.5 ** 2)
+    np.testing.assert_allclose(rows[5, 9, 3], 15.0 ** 2)

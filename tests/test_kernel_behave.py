@@ -204,12 +204,19 @@ def test_turbulent_oob_rate_under_patch_capacity():
         pids=p.pid, rngk=rngk, hturb_on=True, vturb_on=True,
         with_aks=True, interpret=True)
     oob_frac = float(np.asarray(out[9]).mean())
-    # capacity is 1/cfg.oob_frac (= 1/64 = 1.56%); the turbulent rate
-    # here measures ~1.0% (the 1M-chip bench: 0.8-0.9%) — the assert
-    # pins it below capacity with margin so a regression that widens
-    # block spread (sort, window-origin, or feedback changes) fails
-    # loudly before it can hit the round-3 overflow->ERROR incident
-    assert oob_frac < 0.85 / cfg.oob_frac, oob_frac
+    # the AUTO capacity for this config is the base n/64 = 1.56%
+    # (step.resolve_oob_frac); the turbulent rate here measures ~1.0%
+    # (the 1M-chip bench: 0.8-0.9%) — the assert pins it below capacity
+    # with margin so a regression that widens block spread (sort,
+    # window-origin, or feedback changes) fails loudly before it can
+    # hit the round-3 overflow->ERROR incident
+    from ltjax.step import StepContext, resolve_oob_frac
+    frac = resolve_oob_frac(cfg, StepContext(grid=grid, bounds=bounds,
+                                             polys=None, holes=None))
+    # auto sizing gives this config the base rate, floored at 256 slots
+    assert cfg.numpar // frac == max(256, cfg.numpar // 64)
+    # pin the miss rate below the PRODUCTION 1/64 capacity fraction
+    assert oob_frac < 0.85 / 64, oob_frac
 
 
 @pytest.mark.parametrize("behavior", [4, 5])
