@@ -34,7 +34,7 @@ from ltjax.step import (StepContext, make_external_step,
                         make_fused_external_steps)
 
 ROOFLINE = 2.0e8  # conservative particle-steps/s/chip bound (BASELINE.md)
-N_FUSE = 4        # external steps per compiled call (production default:
+N_FUSE = 16       # external steps per compiled call (production default:
                   # Config.ext_fuse; amortizes dispatch + Hilbert sort)
 
 
@@ -87,13 +87,27 @@ def build(numpar=1_000_000, nx=200, ny=200, us=20, dt=3600, idt=120,
     cfg = Config(numpar=numpar, dt=dt, idt=idt, us=us, ws=us + 1,
                  OpenOceanBoundary=True, dtype_pos="float32",
                  reflect_iters=2, **kw)
-    case = synth.make_solid_body_case(nx=nx, ny=ny, us=us, lx=200e3,
-                                      ly=200e3, h0=50.0, omega=5e-5,
-                                      dtype=dtype)
-    grid = case.grid
-    bounds = bd.build_boundaries(np.asarray(grid.mask_rho),
-                                 np.asarray(grid.x_rho),
-                                 np.asarray(grid.y_rho))
+    if variant == "curv":
+        # BASELINE.json config 3's realistic estuary grids are
+        # CURVILINEAR (like the reference's bundled Chesapeake case) —
+        # this row measures the packed-XLA path they run on (the fused
+        # kernels' arithmetic locate requires a uniform grid; all cell
+        # location here goes through the seed-raster + Newton inverse
+        # bilinear map, grid.curv_logical)
+        case = synth.make_curv_case(nx=nx, ny=ny, us=us, lx=200e3,
+                                    ly=200e3, h0=50.0, omega=5e-5,
+                                    amp=0.03, dtype=dtype)
+        grid = case.grid
+        bounds = bd.build_boundaries_curv(np.asarray(grid.mask_rho),
+                                          case.x2d, case.y2d, grid.curv)
+    else:
+        case = synth.make_solid_body_case(nx=nx, ny=ny, us=us, lx=200e3,
+                                          ly=200e3, h0=50.0, omega=5e-5,
+                                          dtype=dtype)
+        grid = case.grid
+        bounds = bd.build_boundaries(np.asarray(grid.mask_rho),
+                                     np.asarray(grid.x_rho),
+                                     np.asarray(grid.y_rho))
     polys = holes = None
     if variant == "settle":
         from ltjax.physics import settlement as stl
@@ -167,24 +181,27 @@ def main():
                 pp = fused1(pp, fs3, float(e * cfg.dt), e)
             return pp
     else:
-        # configs outside megakernel coverage (none of the bench
-        # variants today — all behavior types 0-7, settlement, and
-        # SaltTempOn are in-kernel; this branch serves non-uniform
-        # grids / non-pair2 precisions) run per-external-step calls
+        # configs outside megakernel coverage (the curv variant — the
+        # fused kernels' arithmetic locate needs a uniform grid; all
+        # the uniform-grid variants are in-kernel) run per-external-
+        # step compiled calls on the packed-XLA path.  That path is
+        # 1-2 orders slower, so measure fewer external steps per rep.
         one = make_external_step(ctx, cfg, jr.key(0))
+        E_REP = 2
 
-        def step(pp):
-            for e in range(N_FUSE):
+        def step(pp, e0=0):
+            for e in range(E_REP):
                 fs3 = FieldSet(*(a[e:e + 3] for a in fsR[:-1]),
                                times=fsR.times[e:e + 3])
-                pp = one(pp, fs3, float(e * cfg.dt), e)
+                pp = one(pp, fs3, float(e * cfg.dt), e0 + e)
             return pp
 
+    mega = mode_flags(ctx, cfg)[2]
     # warm-up / compile
     p = jax.block_until_ready(step(p))
 
-    reps = 5
-    steps_per_rep = n_int * N_FUSE  # 120 internal steps per rep
+    reps = 5 if mega else 3
+    steps_per_rep = n_int * (N_FUSE if mega else 2)
     rates = []
     pp = p
     for r in range(reps):

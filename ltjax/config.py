@@ -193,10 +193,14 @@ class Config:
                                   #   scheme up to f32 rounding; False
                                   #   forces the per-particle z-space
                                   #   path everywhere
-    ext_fuse: int = 4             # external steps fused per compiled
+    ext_fuse: int = 8             # external steps fused per compiled
                                   #   call on the megakernel path (the
                                   #   field window holds ext_fuse + 2
-                                  #   records); 1 = classic triple buffer
+                                  #   records); 1 = classic triple
+                                  #   buffer.  8 amortizes the ~26 ms
+                                  #   per-call dispatch to ~3 ms/ext
+                                  #   (output/checkpoint cadence still
+                                  #   clamps the chunk in run.py)
     ext_sort_every: int = 2       # Hilbert re-sort cadence inside a
                                   #   fused call [external steps].  The
                                   #   row-packed sort costs ~15 ms at 1M;

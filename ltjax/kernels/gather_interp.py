@@ -275,33 +275,125 @@ def const_ladder(ladder, sigma: float) -> dict:
     return dict(L=L, hs=hs, inv_hs=inv_hs, off=off, invs=invs, cp=cp)
 
 
+def _fit_thomas_const_groups(groups):
+    """Natural tension-spline fits on constant ladders, INTERLEAVED
+    across all profiles of all groups.
+
+    ``groups``: list of (yks, C) with yks a list of profiles sharing
+    the ladder constants ``C`` (const_ladder).  Returns the per-group
+    z2 lists in order.  Value-identical (bit-for-bit) to running
+    _fit_thomas_const_multi per group: every op has the same operands
+    in the same within-chain order — only ops from INDEPENDENT chains
+    (u, v, w) are interleaved, giving the VPU scheduler parallel work
+    inside the serial Thomas recurrences (the per-profile-sequential
+    form left the forward/backward sweeps as back-to-back dependency
+    chains; the spline phase measured ~55% of the calibrated VPU rate,
+    BASELINE.md round-4 anatomy)."""
+    chains = []   # flat list of dicts, one per profile
+    for yks, C in groups:
+        K = len(C["L"])
+        for yk in yks:
+            chains.append(dict(yk=yk, C=C, K=K))
+    zero = jnp.zeros_like(chains[0]["yk"][0])
+    Kmax = max(c["K"] for c in chains)
+    # rhs slopes
+    for c in chains:
+        inv_hs = c["C"]["inv_hs"]
+        c["dy"] = [(c["yk"][k + 1] - c["yk"][k]) * inv_hs[k]
+                   for k in range(c["K"] - 1)]
+        c["dp"] = [zero] * c["K"]
+        c["z2"] = [zero] * c["K"]
+        c["x"] = zero
+    # forward sweep, knot-outer / chain-inner
+    for i in range(1, Kmax - 1):
+        for c in chains:
+            if i >= c["K"] - 1:
+                continue
+            off = c["C"]["off"]
+            invs = c["C"]["invs"]
+            t = c["dy"][i] - c["dy"][i - 1]
+            if i > 1:
+                t = t - off[i - 1] * c["dp"][i - 1]
+            c["dp"][i] = t * invs[i]
+    # backward sweep, knot-outer / chain-inner (descending offset from
+    # each chain's own end so within-chain order is unchanged)
+    for step in range(Kmax - 2):
+        for c in chains:
+            i = c["K"] - 2 - step
+            if i < 1:
+                continue
+            c["x"] = c["dp"][i] - c["C"]["cp"][i] * c["x"]
+            c["z2"][i] = c["x"]
+    outs = []
+    pos = 0
+    for yks, C in groups:
+        outs.append([chains[pos + p]["z2"] for p in range(len(yks))])
+        pos += len(yks)
+    return outs
+
+
 def _fit_thomas_const_multi(yks, C: dict):
     """Natural tension-spline fit on the constant ladder ``C``
     (const_ladder): value-identical to _fit_thomas_multi with knots
     z_k = a + b*L_k up to the 1/b^2 scale that _eval_spline_const_multi
     absorbs (affine invariance).  All matrix data are scalar constants;
     only the per-profile rhs sweeps remain vector work."""
-    K = len(C["L"])
-    inv_hs = C["inv_hs"]
-    off = C["off"]
-    invs = C["invs"]
-    cp = C["cp"]
-    zero = jnp.zeros_like(yks[0][0])
+    return _fit_thomas_const_groups([(yks, C)])[0]
+
+
+def _eval_spline_const_groups(sq, groups, gs):
+    """Evaluate splines on constant ladders at sq, INTERLEAVED across
+    groups (see _fit_thomas_const_groups — same motivation, same
+    bit-identical-per-group guarantee).
+
+    ``groups``: list of (yks, z2s, C); all groups share the query sq
+    (clamped per-ladder).  Returns the per-group value lists.
+    """
+    st_ = []
+    for yks, z2s, C in groups:
+        K = len(C["L"])
+        L = C["L"]
+        sqc = jnp.minimum(jnp.maximum(sq, L[0]), L[K - 1])
+        one = jnp.ones_like(sqc)
+        zero = jnp.zeros_like(sqc)
+        nprof = len(yks)
+        st_.append(dict(
+            yks=yks, z2s=z2s, C=C, K=K, sqc=sqc, nprof=nprof,
+            y0=[zero] * nprof, y1=[zero] * nprof,
+            s0=[zero] * nprof, s1=[zero] * nprof,
+            invh=zero, c0=zero, hsq=zero, prev=one, one=one,
+            zero=zero))
+    Kmax = max(g["K"] for g in st_)
+    for k in range(Kmax - 1):
+        for g in st_:
+            K = g["K"]
+            if k >= K - 1:
+                continue
+            L = g["C"]["L"]
+            inv_hs = g["C"]["inv_hs"]
+            hs = g["C"]["hs"]
+            sqc = g["sqc"]
+            nxt = (jnp.where(sqc >= L[k + 1], g["one"], g["zero"])
+                   if k < K - 2 else g["zero"])
+            ind = g["prev"] - nxt
+            g["prev"] = nxt
+            g["invh"] = g["invh"] + ind * inv_hs[k]
+            g["c0"] = g["c0"] + ind * (L[k] * inv_hs[k])
+            g["hsq"] = g["hsq"] + ind * (hs[k] * hs[k])
+            for p in range(g["nprof"]):
+                g["y0"][p] = g["y0"][p] + ind * g["yks"][p][k]
+                g["y1"][p] = g["y1"][p] + ind * g["yks"][p][k + 1]
+                g["s0"][p] = g["s0"][p] + ind * g["z2s"][p][k]
+                g["s1"][p] = g["s1"][p] + ind * g["z2s"][p][k + 1]
     outs = []
-    for yk in yks:
-        dy = [(yk[k + 1] - yk[k]) * inv_hs[k] for k in range(K - 1)]
-        dp = [zero] * K
-        for i in range(1, K - 1):
-            t = dy[i] - dy[i - 1]
-            if i > 1:
-                t = t - off[i - 1] * dp[i - 1]
-            dp[i] = t * invs[i]
-        z2 = [zero] * K
-        x = zero
-        for i in range(K - 2, 0, -1):
-            x = dp[i] - cp[i] * x
-            z2[i] = x
-        outs.append(z2)
+    for g in st_:
+        B2 = g["sqc"] * g["invh"] - g["c0"]
+        B1 = 1.0 - B2
+        g1 = gs(B1)
+        g2 = gs(B2)
+        outs.append([g["y0"][p] * B1 + g["y1"][p] * B2
+                     + g["hsq"] * (g["s0"][p] * g1 + g["s1"][p] * g2)
+                     for p in range(g["nprof"])])
     return outs
 
 
@@ -313,40 +405,7 @@ def _eval_spline_const_multi(sq, C: dict, yks, z2s, gs):
     per-profile y/z2 corner accumulation remains per-interval vector
     work.  B2 = (sq - L_k)/hs_k = sq*invh - c0 for the active interval.
     """
-    K = len(C["L"])
-    L = C["L"]
-    inv_hs = C["inv_hs"]
-    hs = C["hs"]
-    nprof = len(yks)
-    sq = jnp.minimum(jnp.maximum(sq, L[0]), L[K - 1])
-    one = jnp.ones_like(sq)
-    zero = jnp.zeros_like(sq)
-    y0 = [zero] * nprof
-    y1 = [zero] * nprof
-    s0 = [zero] * nprof
-    s1 = [zero] * nprof
-    invh = zero
-    c0 = zero
-    hsq = zero
-    prev = one
-    for k in range(K - 1):
-        nxt = jnp.where(sq >= L[k + 1], one, zero) if k < K - 2 else zero
-        ind = prev - nxt
-        prev = nxt
-        invh = invh + ind * inv_hs[k]
-        c0 = c0 + ind * (L[k] * inv_hs[k])
-        hsq = hsq + ind * (hs[k] * hs[k])
-        for p in range(nprof):
-            y0[p] = y0[p] + ind * yks[p][k]
-            y1[p] = y1[p] + ind * yks[p][k + 1]
-            s0[p] = s0[p] + ind * z2s[p][k]
-            s1[p] = s1[p] + ind * z2s[p][k + 1]
-    B2 = sq * invh - c0
-    B1 = 1.0 - B2
-    g1 = gs(B1)
-    g2 = gs(B2)
-    return [y0[p] * B1 + y1[p] * B2 + hsq * (s0[p] * g1 + s1[p] * g2)
-            for p in range(nprof)]
+    return _eval_spline_const_groups(sq, [(yks, z2s, C)], gs)[0]
 
 
 def _eval_spline_deriv_const(sq, C: dict, yk, z2, ds):
@@ -588,13 +647,17 @@ def make_stage_eval(grid: Grid, sigma: float, nv: int, HL: int,
 
         if ladder is not None:
             # --- sfast: constant-ladder fit/eval in s-space --------------
+            # u/v (rho ladder) and w (w ladder) fits/evals run through
+            # the chain-INTERLEAVED group forms: same ops, same
+            # within-chain order (bit-identical values), but the three
+            # serial Thomas recurrences overlap on the VPU
             binv = recip(zeta + h)
             sq = (zv - zeta) * binv
-            z2u, z2v = _fit_thomas_const_multi([prof_u, prof_v], CR)
-            z2w = _fit_thomas_const_multi([prof_w], CW)[0]
-            u, v = _eval_spline_const_multi(sq, CR, [prof_u, prof_v],
-                                            [z2u, z2v], gs)
-            w = _eval_spline_const_multi(sq, CW, [prof_w], [z2w], gs)[0]
+            (z2u, z2v), (z2w,) = _fit_thomas_const_groups(
+                [([prof_u, prof_v], CR), ([prof_w], CW)])
+            (u, v), (w,) = _eval_spline_const_groups(
+                sq, [([prof_u, prof_v], [z2u, z2v], CR),
+                     ([prof_w], [z2w], CW)], gs)
             # first rho knot above bottom: z_r[0] + h = (zeta+h)(1+L_r0)
             zr0_ab = (zeta + h) * (1.0 + LR0)
         else:

@@ -181,18 +181,29 @@ def merge_shards(shard_paths, out_path):
             np.testing.assert_allclose(np.asarray(f["model_time"]), times)
         names = [n for n in fs[0].keys()
                  if n not in ("model_time", "pid", "pid_t")]
-        # global pid set from the first snapshot
-        pid0 = np.concatenate([np.asarray(f["pid_t"][0]) for f in fs])
-        keep0 = np.concatenate([np.asarray(f["color"][0]) for f in fs]) >= 0
-        pids = np.sort(pid0[keep0])
-        npar = pids.shape[0]
+        # global pid set: union over ALL snapshots (a pid may be absent
+        # at snapshot 0 — late release into a migrated-away slot — or
+        # vanish later via a migration drop; the old snapshot-0-only
+        # union crashed on an all-empty first snapshot and silently
+        # aliased unseen pids onto row 0 — advisor finding r4-low)
+        pid_parts = []
+        for f in fs:
+            pt = np.asarray(f["pid_t"])
+            col = np.asarray(f["color"])
+            pid_parts.append(pt[col >= 0])
+        pids = (np.unique(np.concatenate(pid_parts))
+                if pid_parts and sum(a.size for a in pid_parts)
+                else np.zeros(0, np.int64))
+        npar = int(pids.shape[0])
         with h5py.File(out_path, "w") as out:
             out.create_dataset("model_time", data=times)
             out.create_dataset("pid", data=pids.astype(np.int32))
             dsets = {n: out.create_dataset(
                 n, shape=(len(times), npar), dtype=fs[0][n].dtype)
                 for n in names}
-            lookup = np.zeros(pids.max() + 2, np.int64)
+            if npar == 0:
+                return
+            lookup = np.full(int(pids.max()) + 2, -1, np.int64)
             lookup[pids] = np.arange(npar)
             for k in range(len(times)):
                 pid_k = np.concatenate([np.asarray(f["pid_t"][k])
@@ -200,8 +211,11 @@ def merge_shards(shard_paths, out_path):
                 keep = np.concatenate([np.asarray(f["color"][k])
                                        for f in fs]) >= 0
                 rows = lookup[pid_k[keep]]
+                assert (rows >= 0).all(), "shard pid outside the union"
                 for n in names:
                     col = np.concatenate([np.asarray(f[n][k]) for f in fs])
+                    # pids absent at snapshot k (not yet in any shard /
+                    # dropped) keep the dataset's zero fill
                     buf = np.zeros(npar, fs[0][n].dtype)
                     buf[rows] = col[keep]
                     dsets[n][k, :] = buf

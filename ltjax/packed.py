@@ -710,6 +710,97 @@ def slice_stage_tables(vt_all: ValueTablesAll, i):
     return tab(0), tab(1), tab(2)
 
 
+def _find_currents_rows(grid: Grid, flat, base, x, y, z, sigma: float,
+                        z0m: float):
+    """find_currents_collapsed gathering from a flat (M, HL) row array
+    at row offset ``base`` (a traced scalar) — lets per-internal-step
+    consumers index the per-ext-step STACKED tables directly instead of
+    dynamic-slicing three ~20 MB tables per step (~60 MB/step of pure
+    copies, several ms/ext at 1M; the direct gathers cost the same row
+    rate either way)."""
+    dtype = x.dtype
+    us, ws = grid.us, grid.ws
+    nv = n_value_lanes(us, ws)
+    i, j, fx, fy = locate_rho_ij(grid, x, y)
+    nx = grid.nx
+    c00 = base + j.astype(jnp.int32) * nx + i.astype(jnp.int32)
+    r00 = flat[c00]
+    r01 = flat[c00 + 1]
+    r10 = flat[c00 + nx]
+    r11 = flat[c00 + nx + 1]
+    fxd = fx.astype(flat.dtype)[:, None]
+    fyd = fy.astype(flat.dtype)[:, None]
+    blended = ((r00 * (1 - fxd) + r01 * fxd) * (1 - fyd)
+               + (r10 * (1 - fxd) + r11 * fxd) * fyd)      # (N, HL)
+    zeta_p = blended[:, nv - 2]
+    h_p = blended[:, nv - 1]
+    u, v, w, z_r0 = _fit_eval_profile(
+        grid, blended[:, 0:us], blended[:, us:2 * us],
+        blended[:, 2 * us:2 * us + ws], zeta_p, h_p, z.astype(blended.dtype),
+        sigma)
+    z0m = jnp.asarray(z0m, dtype)
+    u = u.astype(dtype)
+    v = v.astype(dtype)
+    w = w.astype(dtype)
+    zab = z + h_p.astype(dtype)
+    ztb = jnp.maximum(z_r0.astype(dtype) + h_p.astype(dtype), 2.0 * z0m)
+    decay = jnp.log(jnp.maximum(zab, z0m) / z0m) / jnp.log(ztb / z0m)
+    factor = jnp.where(zab < ztb, jnp.clip(decay, 0.0, 1.0), 1.0)
+    return u * factor, v * factor, w
+
+
+def zeta_h_all(grid: Grid, vt_all: ValueTablesAll, k, x, y):
+    """zeta/h at particles from stage table ``k`` of the stacked
+    per-ext-step tables (flat-index gather, no slicing)."""
+    dtype = x.dtype
+    i, j, fx, fy = locate_rho_ij(grid, x, y)
+    nx = grid.nx
+    C = vt_all.zh_rows.shape[1]
+    flat = vt_all.zh_rows.reshape(-1, vt_all.zh_rows.shape[-1])
+    c00 = k * C + j.astype(jnp.int32) * nx + i.astype(jnp.int32)
+    r0 = flat[c00]
+    r1 = flat[c00 + nx]
+    cells = jnp.stack([r0, r1], axis=1).reshape(x.shape[0], 2, 2, 4)
+    zeta_p = _blend(cells[..., 0], fx, fy).astype(dtype)
+    h_p = _blend(cells[..., 1], fx, fy).astype(dtype)
+    return zeta_p, h_p
+
+
+def find_currents_all(grid: Grid, vt_all: ValueTablesAll, k, x, y, z,
+                      sigma: float, z0m: float):
+    """find_currents_collapsed on stage table ``k`` of the stack."""
+    S, ny, nx, HL = vt_all.full.shape
+    flat = vt_all.full.reshape(S * ny * nx, HL)
+    return _find_currents_rows(grid, flat, k * ny * nx, x, y, z, sigma,
+                               z0m)
+
+
+def rk4_displacement_collapsed_all(grid: Grid, vt_all: ValueTablesAll,
+                                   i, x, y, z, sigma: float, z0m: float,
+                                   idt: float):
+    """rk4_displacement_collapsed for internal step ``i`` gathering
+    straight from the stacked tables (stages 2i, 2i+1, 2i+1, 2i+2)."""
+    S, ny, nx, HL = vt_all.full.shape
+    flat = vt_all.full.reshape(S * ny * nx, HL)
+    C = ny * nx
+    k0 = 2 * jnp.asarray(i, jnp.int32)
+    dt = jnp.asarray(idt, x.dtype)
+    half = 0.5 * dt
+
+    def fc(k, xx, yy, zz):
+        return _find_currents_rows(grid, flat, k * C, xx, yy, zz, sigma,
+                                   z0m)
+
+    u1, v1, w1 = fc(k0, x, y, z)
+    u2, v2, w2 = fc(k0 + 1, x + u1 * half, y + v1 * half, z + w1 * half)
+    u3, v3, w3 = fc(k0 + 1, x + u2 * half, y + v2 * half, z + w2 * half)
+    u4, v4, w4 = fc(k0 + 2, x + u3 * dt, y + v3 * dt, z + w3 * dt)
+    sixth = dt / 6.0
+    return (sixth * (u1 + 2 * u2 + 2 * u3 + u4),
+            sixth * (v1 + 2 * v2 + 2 * v3 + v4),
+            sixth * (w1 + 2 * w2 + 2 * w3 + w4))
+
+
 def stage_tables(grid: Grid, rec: PackedRecords, t, idt: float,
                  sigma: float):
     """The 3 RK4 stage tables for an internal step starting at t."""

@@ -352,13 +352,25 @@ def run_sharded(cfg: Config, resume: bool = False,
 
     cfg.validate()
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        # real multi-host: the standard env (coordinator address,
-        # process count/id) drives jax.distributed.  Pass explicitly —
-        # auto cluster detection does not cover bare-env launches.
+        # real multi-host: the standard env drives jax.distributed.
+        # Bare-env launches (outside auto-detected clusters) must set
+        # ALL THREE of JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+        # JAX_PROCESS_ID — an address alone would reach
+        # jax.distributed.initialize with no process count and fail
+        # with an opaque error (advisor finding r4-low); inside a
+        # recognized cluster (where auto-detection fills them) the
+        # count/id pair may be omitted together.
         kw = {}
-        if os.environ.get("JAX_NUM_PROCESSES"):
-            kw = dict(num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-                      process_id=int(os.environ["JAX_PROCESS_ID"]))
+        has_np = os.environ.get("JAX_NUM_PROCESSES")
+        has_id = os.environ.get("JAX_PROCESS_ID")
+        if bool(has_np) != bool(has_id):
+            raise RuntimeError(
+                "multi-host launch: set BOTH JAX_NUM_PROCESSES and "
+                "JAX_PROCESS_ID alongside JAX_COORDINATOR_ADDRESS "
+                "(or neither, inside an auto-detected cluster)")
+        if has_np:
+            kw = dict(num_processes=int(has_np),
+                      process_id=int(has_id))
         jax.distributed.initialize(
             coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"], **kw)
     is_proc0 = jax.process_index() == 0
@@ -396,10 +408,17 @@ def run_sharded(cfg: Config, resume: bool = False,
     base_key = jr.key(cfg.seed)
     from .step import mode_flags as _mf, resolve_oob_frac as _rof
     cfg.oob_frac = _rof(cfg, ctx)   # auto patch capacity (uniform est.)
-    mega = (shard.build_mega_tiled(ctx, cfg, spec)
-            if _mf(ctx, cfg)[2] else None)
-    step = shard.make_tiled_step(ctx, cfg, spec, tiled, mesh, base_key,
-                                 mega=mega)
+    use_mega = _mf(ctx, cfg)[2]
+    mega = shard.build_mega_tiled(ctx, cfg, spec) if use_mega else None
+    n_fuse = max(1, cfg.ext_fuse)
+    step_cache = {}
+
+    def stepper(E):
+        if E not in step_cache:
+            step_cache[E] = shard.make_tiled_step(
+                ctx, cfg, spec, tiled, mesh, base_key, mega=mega,
+                n_fuse=E)
+        return step_cache[E]
 
     start_ext = 0
     resumed_extra = None
@@ -442,12 +461,19 @@ def run_sharded(cfg: Config, resume: bool = False,
             "t_base", recs[0]["time"] - (global_rec - 3) * cfg.dt)
     timing.add("hydro_init", time.perf_counter() - t0)
 
-    prefetch = Prefetcher(series.next_record) if cfg.prefetch else None
+    prefetch = (Prefetcher(series.next_record, depth=max(2, n_fuse + 1))
+                if cfg.prefetch else None)
     # multi-host: EVERY process streams its own shard file (fixed-length
     # rows = its local slot block incl. EMPTY slots; merge with
-    # out.writer.merge_shards).  Single-process keeps the global file.
-    writer = (TrajectoryWriter(cfg, shard_tag=host_tag) if multi
-              else (TrajectoryWriter(cfg) if is_proc0 else None))
+    # out.writer.merge_shards).  Single-process NC-only runs stream the
+    # SAME way (one local shard file, merged into the standard global
+    # file at close) so a 10M-particle multi-chip host never
+    # materializes + pid-sorts the whole batch per snapshot (VERDICT r4
+    # weak #8); CSV output keeps the gather path (CSV rows are global).
+    stream_shard = (not multi) and cfg.writeNC and not cfg.writeCSV
+    shard_tag_w = host_tag if multi else ("_shard0" if stream_shard else "")
+    writer = (TrajectoryWriter(cfg, shard_tag=shard_tag_w)
+              if (multi or is_proc0) else None)
     field_dtype = jnp.dtype(cfg.dtype_field)
     window: List[dict] = list(recs)
     win_start = global_rec - 3
@@ -455,43 +481,65 @@ def run_sharded(cfg: Config, resume: bool = False,
     drops_total = 0
 
     def snap_batch():
+        # snapshot form: fixed slot rows (cheap D2H, no sort) when
+        # streaming shard files; full pid-ordered gather otherwise
+        return (shard.local_flat(pbuf) if (multi or stream_shard)
+                else shard.gather_particles(pbuf))
+
+    def final_batch():
         return (shard.local_flat(pbuf) if multi
                 else shard.gather_particles(pbuf))
 
     if writer and not resume:
         writer.snapshot(0.0, snap_batch())
+    exhausted = False
     try:
-        for ext in range(start_ext, n_ext):
+        ext = start_ext
+        while ext < n_ext:
+            # --- chunk size: never straddle an output/checkpoint point ---
+            E = min(n_fuse, n_ext - ext)
+            out_every = cfg.output_every_ext
+            E = min(E, out_every - (ext % out_every))
+            if cfg.checkpoint_every:
+                E = min(E, cfg.checkpoint_every
+                        - (ext % cfg.checkpoint_every))
+
             tw = time.perf_counter()
-            while global_rec - 1 < ext + 2:
+            while global_rec - 1 < ext + E + 1 and not exhausted:
                 rec = prefetch.next() if prefetch else series.next_record()
                 if rec is None:
-                    print(json.dumps({"event": "series_exhausted",
-                                      "ext": ext}))
-                    return snap_batch()
+                    exhausted = True
+                    break
                 window.append(rec)
                 global_rec += 1
+            if exhausted:
+                E = min(E, global_rec - 2 - ext)
+                if E < 1:
+                    print(json.dumps({"event": "series_exhausted",
+                                      "ext": ext}))
+                    return final_batch()
             while win_start < ext:
                 window.pop(0)
                 win_start += 1
-            fs3 = stack_records(window[:3], t_base, field_dtype,
+            fsW = stack_records(window[:E + 2], t_base, field_dtype,
                                 with_salt_temp=cfg.SaltTempOn)
             if eta_rows is None:
-                fs3 = shard.pad_fieldset_eta(fs3, spec.ny_pad)
+                fsW = shard.pad_fieldset_eta(fsW, spec.ny_pad)
             else:
                 # per-host slab -> pad to the owned row count -> global
                 # sharded arrays (multi-host assembly)
-                fs3 = shard.pad_fieldset_eta(fs3, local_rows)
-                fs3 = shard.globalize_fields(fs3, mesh, spec)
+                fsW = shard.pad_fieldset_eta(fsW, local_rows)
+                fsW = shard.globalize_fields(fsW, mesh, spec)
             timing.add("hydro_read", time.perf_counter() - tw)
 
             profiler.tick(ext)
             tc = time.perf_counter()
             t_ext = float(ext * cfg.dt)
-            pbuf, n_drop = step(pbuf, fs3, t_ext, ext)
+            pbuf, n_drop = stepper(E)(pbuf, fsW, t_ext, ext)
             pbuf = jax.block_until_ready(pbuf)
             step_s = time.perf_counter() - tc
             timing.add("compute", step_s)
+            ext += E
             drops = int(jnp.sum(n_drop))
             drops_total += drops
 
@@ -499,25 +547,27 @@ def run_sharded(cfg: Config, resume: bool = False,
             if cfg.ErrorFlag == 0 and (counts["error"] > 0 or drops > 0):
                 raise RuntimeError(
                     f"{counts['error']} errored particles / {drops} "
-                    f"migration overflows at ext step {ext} "
+                    f"migration overflows at ext step {ext - 1} "
                     f"(ErrorFlag=0 halts; raise migrate_capacity or set "
                     f"ErrorFlag>0 to continue)")
 
-            if writer and (ext + 1) % cfg.output_every_ext == 0:
+            if writer and ext % cfg.output_every_ext == 0:
                 to = time.perf_counter()
-                writer.snapshot(t_ext + cfg.dt, snap_batch())
+                writer.snapshot(t_ext + E * cfg.dt, snap_batch())
                 timing.add("output", time.perf_counter() - to)
 
-            if cfg.checkpoint_every and (ext + 1) % cfg.checkpoint_every == 0:
+            if cfg.checkpoint_every and ext % cfg.checkpoint_every == 0:
                 # multi-host: each host saves its addressable block only
                 ckpt.save(os.path.join(cfg.checkpoint_dir,
-                                       f"ckpt_{ext + 1}{host_tag}.npz"),
+                                       f"ckpt_{ext}{host_tag}.npz"),
                           shard.local_block(pbuf) if multi else pbuf,
-                          ext + 1, global_rec,
+                          ext, global_rec,
                           extra={"t_base": float(t_base)})
 
-            log = {"ext": ext, "sim_t": t_ext + cfg.dt,
-                   "steps_per_s": cfg.numpar * cfg.internal_steps / step_s,
+            log = {"ext": ext - E, "n_fused": E,
+                   "sim_t": t_ext + E * cfg.dt,
+                   "steps_per_s": cfg.numpar * cfg.internal_steps * E
+                   / step_s,
                    "migration_drops": drops,
                    "stall_s": round(prefetch.stall_s, 4) if prefetch
                    else 0.0}
@@ -530,10 +580,21 @@ def run_sharded(cfg: Config, resume: bool = False,
         if writer:
             writer.close()
         series.close()
+        if stream_shard and writer is not None:
+            # fold the single-host shard file into the standard global
+            # layout (pid-sorted union, EMPTY slots dropped) — one
+            # end-of-run pass instead of a full gather+sort per snapshot
+            from .out.writer import merge_shards
+            sp_ = os.path.join(cfg.outpath,
+                               cfg.NCOutFile + "_shard0.nc")
+            if os.path.exists(sp_):
+                merge_shards([sp_], os.path.join(
+                    cfg.outpath, cfg.NCOutFile + ".nc"))
+                os.remove(sp_)
 
     if cfg.WriteModelTiming:
         print(json.dumps({"timing": timing.summary()}))
-    return snap_batch()
+    return final_batch()
 
 
 def main(argv=None):

@@ -123,9 +123,18 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
     idt = jnp.asarray(float(cfg.idt), dtype)
     tt = jnp.asarray(t, dtype)
     fast = prec is not None
-    blendfit = mode in ("collapsed", "collapsed_tabs", "kernel")
+    blendfit = mode in ("collapsed", "collapsed_tabs", "collapsed_all",
+                        "kernel")
     if fast and mode == "records":
         rft = prec
+    elif fast and mode == "collapsed_all":
+        # caller passes (ValueTablesAll, internal-step index): consumers
+        # gather straight from the stacked per-ext-step tables via a
+        # stage row offset — no per-step dynamic-slice copies (the
+        # slice_stage_tables form moved ~60 MB/step, several ms/ext at
+        # 1M — the megakernel patch's main fixed cost after the scan)
+        vt_all, istep = prec
+        k0 = 2 * jnp.asarray(istep, jnp.int32)
     elif fast and mode == "collapsed_tabs":
         # caller passes the three pre-built stage ValueTables directly
         # (megakernel patch: packed.slice_stage_tables of the per-ext-
@@ -159,6 +168,10 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
         dxa, dya, dza = pk.rk4_displacement_records(
             grid, rft, p.x, p.y, p.z, t, cfg.tension_sigma, cfg.z0,
             float(cfg.idt))
+    elif fast and mode == "collapsed_all":
+        dxa, dya, dza = pk.rk4_displacement_collapsed_all(
+            grid, vt_all, istep, p.x, p.y, p.z, cfg.tension_sigma,
+            cfg.z0, float(cfg.idt))
     elif fast and mode in ("collapsed", "collapsed_tabs"):
         dxa, dya, dza = pk.rk4_displacement_collapsed(
             grid, tabs, p.x, p.y, p.z, cfg.tension_sigma, cfg.z0,
@@ -188,6 +201,8 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
     if cfg.Behavior != 0 or cfg.mortality:
         if fast and mode == "records":
             zeta_p, h_p = pk.zeta_h_records(grid, rft, p.x, p.y, t)
+        elif fast and mode == "collapsed_all":
+            zeta_p, h_p = pk.zeta_h_all(grid, vt_all, k0, p.x, p.y)
         elif fast:
             zeta_p, h_p = pk.zeta_h_packed(grid, tabs[0], p.x, p.y)
         else:
@@ -197,6 +212,10 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
                 cur = pk.find_currents_records(grid, rft, p.x, p.y, p.z,
                                                t, cfg.tension_sigma,
                                                cfg.z0)[:2]
+            elif fast and mode == "collapsed_all":
+                cur = pk.find_currents_all(grid, vt_all, k0, p.x, p.y,
+                                           p.z, cfg.tension_sigma,
+                                           cfg.z0)[:2]
             elif fast and blendfit:
                 cur = pk.find_currents_collapsed(grid, tabs[0], p.x, p.y,
                                                  p.z, cfg.tension_sigma,
@@ -229,6 +248,8 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
     if fast and mode == "records":
         zeta1, h1 = pk.zeta_h_records(grid, rft, xr, yr,
                                       t + float(cfg.idt))
+    elif fast and mode == "collapsed_all":
+        zeta1, h1 = pk.zeta_h_all(grid, vt_all, k0 + 2, xr, yr)
     elif fast:
         zeta1, h1 = pk.zeta_h_packed(grid, tabs[2], xr, yr)
     else:
@@ -699,6 +720,14 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
         def body(carry, i):
             t = t0 + i * idt
             if patch_pre:
+                # NOTE: the slice-free "collapsed_all" form (gathering
+                # at a stage row offset into the stacked tables) was
+                # measured 2.6x SLOWER end-to-end at 1M: row gathers
+                # from the ~625 MB stacked operand fall off the fixed
+                # row-rate cliff (BASELINE.md microarch: >=100 MB
+                # operands gather at ~0.19 G rows/s and worse), so the
+                # ~60 MB/step dynamic-slice copies are the cheaper
+                # trade.  Keep collapsed_tabs.
                 tabs = pk.slice_stage_tables(vt_all, i)
                 return internal_step(ctx, cfg, base_key, carry, fields,
                                      t, ext_idx * n_int + i, tabs,
@@ -711,26 +740,48 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
 
     rank = jnp.cumsum(oob.astype(jnp.int32)) - 1
     overflow = oob & (rank >= cap)
+    n_oob = rank[-1] + 1
     idxs = jnp.nonzero(oob, size=cap, fill_value=n)[0]
     # fill_value=n is out of bounds on purpose: gathers clamp (the
     # clamped row's value is never used) and scatters DROP — the
     # previous concatenate-a-sentinel-slot scheme copied every (n,)
     # array twice per field (24 full-batch copies, measured 14 ms/ext
     # at 1M — benchmarks/patch_anatomy.py)
-    sub0 = jax.tree.map(lambda a: a.at[idxs].get(mode="clip"), p)
-    sub = run_subset(sub0)
+    #
+    # The patch runs in CHUNKS: the first chunk is sized to the steady
+    # window-miss demand; tail chunks are lax.cond-gated on the ACTUAL
+    # miss count, so the steady state pays only for the misses it has
+    # while the full static capacity stays available for transit /
+    # settlement load peaks (patch scan cost is proportional to the
+    # compacted subset size — benchmarks/patch_anatomy.py measured the
+    # cap-sized scan at ~50 ms/ext at 1M with ~40% of slots unused).
+    chunk = max(256, min(cap, -(-2 * n) // (3 * 64)))  # ~1.04% of n
+    bounds_lo = list(range(0, cap, chunk))
 
-    def scat(dst, src):
-        return dst.at[idxs].set(src, mode="drop")
+    fields_of = ("x", "y", "z", "age", "status", "settle_poly", "salt",
+                 "temp", "hit_land", "hit_bottom")
 
-    out = out._replace(
-        x=scat(out.x, sub.x), y=scat(out.y, sub.y),
-        z=scat(out.z, sub.z), age=scat(out.age, sub.age),
-        status=scat(out.status, sub.status),
-        settle_poly=scat(out.settle_poly, sub.settle_poly),
-        salt=scat(out.salt, sub.salt), temp=scat(out.temp, sub.temp),
-        hit_land=scat(out.hit_land, sub.hit_land),
-        hit_bottom=scat(out.hit_bottom, sub.hit_bottom))
+    def patch_chunk(out_p, lo, hi):
+        ic = jax.lax.slice_in_dim(idxs, lo, hi)
+        sub0 = jax.tree.map(lambda a: a.at[ic].get(mode="clip"), p)
+        sub = run_subset(sub0)
+
+        def scat(dst, src):
+            return dst.at[ic].set(src, mode="drop")
+
+        return out_p._replace(**{f: scat(getattr(out_p, f),
+                                         getattr(sub, f))
+                                 for f in fields_of})
+
+    for lo in bounds_lo:
+        hi = min(lo + chunk, cap)
+        if lo == 0:
+            out = patch_chunk(out, lo, hi)     # first chunk always runs
+        else:
+            out = jax.lax.cond(n_oob > lo,
+                               lambda o, lo=lo, hi=hi: patch_chunk(
+                                   o, lo, hi),
+                               lambda o: o, out)
     return out._replace(status=jnp.where(overflow, st.ERROR, out.status))
 
 
