@@ -86,20 +86,32 @@ def params_static_ext(grid: Grid, bounds: Boundaries, z0m: float,
                       const_hturb: float = 0.0,
                       const_vturb: float = 0.0,
                       sink: float = 0.0,
-                      deadage: float = np.inf) -> np.ndarray:
+                      deadage: float = np.inf,
+                      curv: bool = False) -> np.ndarray:
     """Static (host-precomputable) part of the kernel params: head
     scalars + interleaved s/Cs pairs.  Per-tile variants for the
-    sharded megakernel overwrite the eta-origin slots (Y0 / BY0)."""
+    sharded megakernel overwrite the eta-origin slots (Y0 / BY0).
+
+    ``curv``: identity lattice transform (X0=0, 1/dx=1, ...) — the
+    curvilinear kernel's particles carry LOGICAL coordinates, so the
+    position->lattice arithmetic must be the identity (see
+    _make_ext_kernel curv_mode)."""
     us, ws = grid.us, grid.ws
     x = np.asarray(grid.x_rho, np.float64)
     y = np.asarray(grid.y_rho, np.float64)
     xe = np.asarray(bounds.x_edges, np.float64)
     ye = np.asarray(bounds.y_edges, np.float64)
     head = np.zeros(_IDX_SC0, np.float64)
-    head[_IDX_X0] = x[0]
-    head[_IDX_INVDX] = 1.0 / (x[1] - x[0])
-    head[_IDX_Y0] = y[0]
-    head[_IDX_INVDY] = 1.0 / (y[1] - y[0])
+    if curv:
+        head[_IDX_X0] = 0.0
+        head[_IDX_INVDX] = 1.0
+        head[_IDX_Y0] = 0.0
+        head[_IDX_INVDY] = 1.0
+    else:
+        head[_IDX_X0] = x[0]
+        head[_IDX_INVDX] = 1.0 / (x[1] - x[0])
+        head[_IDX_Y0] = y[0]
+        head[_IDX_INVDY] = 1.0 / (y[1] - y[0])
     head[_IDX_HC] = float(grid.hc)
     head[_IDX_Z0] = float(z0m)
     head[_IDX_BX0] = xe[0]
@@ -166,13 +178,13 @@ def params_array_ext(grid: Grid, bounds: Boundaries, z0m: float,
                      const_vturb: float = 0.0,
                      sink: float = 0.0,
                      deadage: float = np.inf,
-                     dvm=None) -> jax.Array:
+                     dvm=None, curv: bool = False) -> jax.Array:
     """SMEM params: head scalars + s/Cs pairs + dynamic tail
     (finish_params)."""
     static = params_static_ext(grid, bounds, z0m, idt,
                                const_hturb=const_hturb,
                                const_vturb=const_vturb,
-                               sink=sink, deadage=deadage)
+                               sink=sink, deadage=deadage, curv=curv)
     return finish_params(static, t0, times, idt, n_int, dvm=dvm)
 
 
@@ -325,6 +337,35 @@ def settle_lanes(polys, holes, x_edges, y_edges):
     return state, out_pid
 
 
+def curv_xy_table(grid: Grid, bounds: Boundaries) -> np.ndarray:
+    """(Ny, Nx, 8) f32 corner-coordinate rows for the CURVILINEAR
+    megakernel: [x, y, x_east, y_east, near_seg, 0, 0, 0] at rho point
+    (j, i) (east = (j, i+1), clamped at the rim).
+
+    Windowed alongside the record/boundary windows; the kernel's
+    in-window Newton refinements (see _make_ext_kernel curv_mode) pull
+    the 4 corners of a particle's cell from rows (lj, li) and
+    (lj+1, li) with two cell-one-hot selects.  ``near_seg`` flags
+    cells whose 3x3 boundary bucket is non-empty — particles entering
+    such cells are DEFERRED to the exact XLA patch (reflection,
+    open-boundary exits, and the tunnel guards all happen there),
+    keeping the kernel free of curvilinear boundary geometry."""
+    assert grid.curv is not None
+    ny, nx = grid.ny, grid.nx
+    xy = np.asarray(grid.curv.xy_flat, np.float64).reshape(ny, nx, 2)
+    # 128-lane padded: the window DMA's minor dim must be a multiple of
+    # the 128-lane tiling (same constraint as boundary_rows_table)
+    out = np.zeros((ny, nx, 128), np.float32)
+    out[:, :, 0] = xy[:, :, 0]
+    out[:, :, 1] = xy[:, :, 1]
+    east = np.concatenate([xy[:, 1:], xy[:, -1:]], axis=1)
+    out[:, :, 2] = east[:, :, 0]
+    out[:, :, 3] = east[:, :, 1]
+    near = np.asarray(bounds.bucket)[:, :, 0] >= 0     # 3x3 bucket used
+    out[:, :, 4] = near.astype(np.float32)
+    return out
+
+
 # status codes (must mirror ltjax.state)
 _NOT_RELEASED = 0
 _ACTIVE = 1
@@ -343,7 +384,8 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                      sink_on: bool = False, mortality: bool = False,
                      ladder=None, behavior: int = 0, beh=None,
                      settle_on: bool = False, align_x8: bool = False,
-                     salt_on: bool = False, salt0: int = 0):
+                     salt_on: bool = False, salt0: int = 0,
+                     curv_mode: bool = False):
     P = p_block
     PS = P // 128
     wy, wx = window
@@ -502,11 +544,22 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
         stuck = stuck | (act & ~exited & ~interacted & ~water_m)
         return x1, y1, exited, stuck, hitl, oob
 
-    def kernel(par_ref, rngk_ref, x_ref, y_ref, z_ref, dob_ref, st_ref,
-               pid_ref, spol_ref, sal_ref, tem_ref, tab_hbm, brows_hbm,
-               xo_ref, yo_ref, zo_ref, sto_ref, spolo_ref, salo_ref,
-               temo_ref, hitl_ref, hitb_ref, oob_ref,
-               wtab, wbd, sems):
+    def kernel(*refs):
+        if curv_mode:
+            # curvilinear variant: logical-coordinate inputs/outputs
+            # (ti/tj) + the xy corner window (curv_xy_table)
+            (par_ref, rngk_ref, x_ref, y_ref, z_ref, ti_ref, tj_ref,
+             dob_ref, st_ref, pid_ref, spol_ref, sal_ref, tem_ref,
+             tab_hbm, brows_hbm, wxy_hbm,
+             xo_ref, yo_ref, zo_ref, tio_ref, tjo_ref, sto_ref,
+             spolo_ref, salo_ref, temo_ref, hitl_ref, hitb_ref,
+             oob_ref, wtab, wbd, wxyw, sems) = refs
+        else:
+            (par_ref, rngk_ref, x_ref, y_ref, z_ref, dob_ref, st_ref,
+             pid_ref, spol_ref, sal_ref, tem_ref, tab_hbm, brows_hbm,
+             xo_ref, yo_ref, zo_ref, sto_ref, spolo_ref, salo_ref,
+             temo_ref, hitl_ref, hitb_ref, oob_ref,
+             wtab, wbd, sems) = refs
         b = pl.program_id(0)
         idtc = jnp.float32(idt)
         half = jnp.float32(0.5 * idt)
@@ -540,6 +593,10 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
             cps.append(pltpu.make_async_copy(
                 brows_hbm.at[pl.ds(oy, wy), pl.ds(ox, wx), :],
                 wbd.at[bank], sems.at[bank, 1]))
+            if curv_mode:
+                cps.append(pltpu.make_async_copy(
+                    wxy_hbm.at[pl.ds(oy, wy), pl.ds(ox, wx), :],
+                    wxyw.at[bank], sems.at[bank, 2]))
             return cps
 
         def dma_start(bank, oy, ox):
@@ -560,6 +617,9 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
         xv = x_ref[0]
         yv = y_ref[0]
         zv = z_ref[0]
+        if curv_mode:
+            tiv0 = ti_ref[0]
+            tjv0 = tj_ref[0]
         dob = dob_ref[0]
         st = st_ref[0]
         spol = spol_ref[0]
@@ -621,7 +681,11 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
         # skipped), and a block frozen at entry can never wake.
         live_any = jnp.min(st) <= _ACTIVE
 
-        oy0, ox0, im0, jm0 = origin(xv, yv, oob)
+        # curv_mode: the head params set X0=0, INVDX=1 (etc.), so
+        # origin()/stage_eval's "position -> lattice" arithmetic works
+        # VERBATIM on the logical coordinates the particles carry
+        pu0, pv0 = (tiv0, tjv0) if curv_mode else (xv, yv)
+        oy0, ox0, im0, jm0 = origin(pu0, pv0, oob)
 
         def prime(_):
             dma_start(0, oy0, ox0)      # bank 0 primed for step 0
@@ -646,10 +710,17 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                 # Values are bit-identical (same windows either way);
                 # only the per-copy issue overhead (~0.6 ms/step at 977
                 # blocks, BASELINE.md) is saved.
-                (xv, yv, zv, st, spol, sal, tem, hitl, hitb, oobi,
-                 c0y, c0x, c1y, c1x, if0, if1, im_prev, jm_prev) = carry
+                if curv_mode:
+                    (xv, yv, zv, tiv, tjv, st, spol, sal, tem, hitl,
+                     hitb, oobi, c0y, c0x, c1y, c1x, if0, if1,
+                     im_prev, jm_prev) = carry
+                else:
+                    (xv, yv, zv, st, spol, sal, tem, hitl, hitb, oobi,
+                     c0y, c0x, c1y, c1x, if0, if1,
+                     im_prev, jm_prev) = carry
                 oob = oobi != 0
-                oy, ox, im, jm = origin(xv, yv, oob)
+                pu, pv = (tiv, tjv) if curv_mode else (xv, yv)
+                oy, ox, im, jm = origin(pu, pv, oob)
                 bank0 = i % 2 == 0
 
                 def sync(bank, cy, cx, infl):
@@ -735,24 +806,136 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                             + par_ref[c + 1] * wcv.reshape(wc, HL)[:, :HLc]
                             + par_ref[c + 2] * wfv.reshape(wc, HL)[:, :HLc])
 
+                if curv_mode:
+                    wxy_rows = wxyw[pl.ds(bank, 1)][0].reshape(
+                        wc, 128)[:, :8]
+
+                    def corners(li, lj):
+                        """4-corner xy (+ lane-4 flag) of cell (lj, li)
+                        via two one-hot selects on the xy window."""
+                        ohA = make_cell_onehot(li, lj, P, wy, wx)
+                        ohB = make_cell_onehot(li, lj + 1.0, P, wy, wx)
+                        A = jax.lax.dot_general(
+                            wxy_rows, ohA,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=row_precision).reshape(8, PS, 128)
+                        B = jax.lax.dot_general(
+                            wxy_rows, ohB,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=row_precision).reshape(8, PS, 128)
+                        return A, B
+
+                    def newton(ti, tj, X, Y, iters, oobn):
+                        """Refine logical coords toward physical (X, Y)
+                        (mirrors grid.curv_logical's bilinear Newton;
+                        the carried seed is already within a fraction
+                        of a cell, so 1-2 iterations reach f32
+                        convergence)."""
+                        for _ in range(iters):
+                            i_ = jnp.clip(jnp.floor(ti), 0.0,
+                                          float(nx - 2))
+                            j_ = jnp.clip(jnp.floor(tj), 0.0,
+                                          float(ny - 2))
+                            li = i_ - ox_f
+                            lj = j_ - oy_f
+                            bad = ((li < 0.0) | (li > float(wx - 1))
+                                   | (lj < 0.0) | (lj > float(wy - 2)))
+                            oobn = oobn | bad
+                            li = jnp.clip(li, 0.0, float(wx - 1))
+                            lj = jnp.clip(lj, 0.0, float(wy - 2))
+                            A, B = corners(li, lj)
+                            fx = ti - i_
+                            fy = tj - j_
+                            axX = A[2] - A[0]
+                            axY = A[3] - A[1]
+                            ayX = B[0] - A[0]
+                            ayY = B[1] - A[1]
+                            axyX = B[2] - A[2] - B[0] + A[0]
+                            axyY = B[3] - A[3] - B[1] + A[1]
+                            px = A[0] + fx * axX + fy * ayX + fx * fy * axyX
+                            py = A[1] + fx * axY + fy * ayY + fx * fy * axyY
+                            jx0 = axX + fy * axyX
+                            jx1 = axY + fy * axyY
+                            jy0 = ayX + fx * axyX
+                            jy1 = ayY + fx * axyY
+                            det = jx0 * jy1 - jx1 * jy0
+                            det = jnp.where(jnp.abs(det) < 1e-30, 1e-30,
+                                            det)
+                            rx = X - px
+                            ry = Y - py
+                            dfx = (jy1 * rx - jy0 * ry) / det
+                            dfy = (-jx1 * rx + jx0 * ry) / det
+                            ti = i_ + jnp.clip(fx + dfx, -1.5, 2.5)
+                            tj = j_ + jnp.clip(fy + dfy, -1.5, 2.5)
+                        return ti, tj, oobn
+
+                    def nearseg(ti, tj):
+                        """Lane-4 boundary-proximity flag of the
+                        BOUNDARY cell containing logical (ti, tj)."""
+                        lib = jnp.clip(jnp.clip(
+                            jnp.floor(ti + 0.5), 0.0, float(nx - 1))
+                            - ox_f, 0.0, float(wx - 1))
+                        ljb = jnp.clip(jnp.clip(
+                            jnp.floor(tj + 0.5), 0.0, float(ny - 1))
+                            - oy_f, 0.0, float(wy - 1))
+                        oh = make_cell_onehot(lib, ljb, P, wy, wx)
+                        r = jax.lax.dot_general(
+                            wxy_rows, oh,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=row_precision).reshape(8, PS, 128)
+                        return r[4] > 0.5
+
                 w1 = win_at(0)
-                if vturb_aks or beh_swim or beh_tst or salt_on:
-                    u1, v1, ww1, oob1, aux1 = stage_eval(
-                        par_ref, oy_f, ox_f, w1, xv, yv, zv, oob, extras=True)
+                if curv_mode:
+                    if vturb_aks:
+                        u1, v1, ww1, oob1, aux1 = stage_eval(
+                            par_ref, oy_f, ox_f, w1, tiv, tjv, zv, oob,
+                            extras=True)
+                    else:
+                        u1, v1, ww1, oob1 = stage_eval(
+                            par_ref, oy_f, ox_f, w1, tiv, tjv, zv, oob)
+                    t2i, t2j, oob1 = newton(tiv, tjv, xv + u1 * half,
+                                            yv + v1 * half, 1, oob1)
+                    w2 = win_at(1)
+                    u2, v2, ww2, oob1 = stage_eval(
+                        par_ref, oy_f, ox_f, w2, t2i, t2j,
+                        zv + ww1 * half, oob1)
+                    t3i, t3j, oob1 = newton(t2i, t2j, xv + u2 * half,
+                                            yv + v2 * half, 1, oob1)
+                    u3, v3, ww3, oob1 = stage_eval(
+                        par_ref, oy_f, ox_f, w2, t3i, t3j,
+                        zv + ww2 * half, oob1)
+                    t4i, t4j, oob1 = newton(t3i, t3j, xv + u3 * idtc,
+                                            yv + v3 * idtc, 1, oob1)
+                    w4 = win_at(2)
+                    u4, v4, ww4, oob1 = stage_eval(
+                        par_ref, oy_f, ox_f, w4, t4i, t4j,
+                        zv + ww3 * idtc, oob1)
                 else:
-                    u1, v1, ww1, oob1 = stage_eval(par_ref, oy_f, ox_f, w1,
-                                                   xv, yv, zv, oob)
-                w2 = win_at(1)
-                u2, v2, ww2, oob1 = stage_eval(
-                    par_ref, oy_f, ox_f, w2,
-                    xv + u1 * half, yv + v1 * half, zv + ww1 * half, oob1)
-                u3, v3, ww3, oob1 = stage_eval(
-                    par_ref, oy_f, ox_f, w2,
-                    xv + u2 * half, yv + v2 * half, zv + ww2 * half, oob1)
-                w4 = win_at(2)
-                u4, v4, ww4, oob1 = stage_eval(
-                    par_ref, oy_f, ox_f, w4,
-                    xv + u3 * idtc, yv + v3 * idtc, zv + ww3 * idtc, oob1)
+                    if vturb_aks or beh_swim or beh_tst or salt_on:
+                        u1, v1, ww1, oob1, aux1 = stage_eval(
+                            par_ref, oy_f, ox_f, w1, xv, yv, zv, oob,
+                            extras=True)
+                    else:
+                        u1, v1, ww1, oob1 = stage_eval(
+                            par_ref, oy_f, ox_f, w1, xv, yv, zv, oob)
+                    w2 = win_at(1)
+                    u2, v2, ww2, oob1 = stage_eval(
+                        par_ref, oy_f, ox_f, w2,
+                        xv + u1 * half, yv + v1 * half, zv + ww1 * half,
+                        oob1)
+                    u3, v3, ww3, oob1 = stage_eval(
+                        par_ref, oy_f, ox_f, w2,
+                        xv + u2 * half, yv + v2 * half, zv + ww2 * half,
+                        oob1)
+                    w4 = win_at(2)
+                    u4, v4, ww4, oob1 = stage_eval(
+                        par_ref, oy_f, ox_f, w4,
+                        xv + u3 * idtc, yv + v3 * idtc, zv + ww3 * idtc,
+                        oob1)
                 # only active particles' window misses matter
                 oob = oob | (oob1 & act)
 
@@ -914,51 +1097,81 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                     x1 = x1 + jnp.where(riding, ride_d * u1, 0.0)
                     y1 = y1 + jnp.where(riding, ride_d * v1, 0.0)
 
-                # horizontal boundary reflection (skipped when the window
-                # holds no segments — interior blocks).  The trigger reads
-                # only the lane-13 slice of the ACTIVE bank (tiny; the
-                # other bank has the next step's prefetch DMA in flight,
-                # so it must not be read); the FULL boundary-row window is
-                # loaded inside the cond so interior blocks never touch it.
-                s13 = wbd[pl.ds(bank, 1)][0][:, :, 13]
-                any_seg = jnp.max(s13) > 0.5
+                if curv_mode:
+                    # CURVILINEAR boundary handling: every particle
+                    # whose step starts or ends in a cell with a
+                    # non-empty 3x3 segment bucket, or whose LOGICAL
+                    # per-axis displacement exceeds the 1.5-cell bucket
+                    # guarantee, is DEFERRED to the exact XLA patch
+                    # (reflection, open-ocean exits, stuck detection,
+                    # and the tunnel guards all run there,
+                    # value-identical to physics.boundary.reflect on
+                    # the curvilinear segment chains).  The kernel
+                    # itself never reflects on curvilinear geometry.
+                    ti1, tj1, oobn = newton(t4i, t4j, x1, y1, 2,
+                                            jnp.zeros((PS, 128),
+                                                      jnp.bool_))
+                    over_l = ((jnp.abs(ti1 - tiv) > 1.5)
+                              | (jnp.abs(tj1 - tjv) > 1.5))
+                    defer = (nearseg(tiv, tjv) | nearseg(ti1, tj1)
+                             | oobn | over_l)
+                    oob = oob | (act & defer)
+                    xr, yr = x1, y1
+                    falseb = jnp.zeros((PS, 128), jnp.bool_)
+                    exited = falseb
+                    stuck = falseb
+                else:
+                    # horizontal boundary reflection (skipped when the
+                    # window holds no segments — interior blocks).  The
+                    # trigger reads only the lane-13 slice of the ACTIVE
+                    # bank (tiny; the other bank may have a prefetch DMA
+                    # in flight, so it must not be read); the FULL
+                    # boundary-row window is loaded inside the cond so
+                    # interior blocks never touch it.
+                    s13 = wbd[pl.ds(bank, 1)][0][:, :, 13]
+                    any_seg = jnp.max(s13) > 0.5
 
-                def with_reflect(args):
-                    x0_, y0_, x1_, y1_, act_, hitl_, oob_ = args
-                    wbd_rows = wbd[pl.ds(bank, 1)][0].reshape(wc, BL)
-                    xr_, yr_, ex_, stk_, hl_, ob_ = reflect_block(
-                        par_ref, wbd_rows, oy_f, ox_f, x0_, y0_, x1_, y1_,
-                        act_ != 0, hitl_, oob_ != 0)
-                    return (xr_, yr_, ex_.astype(jnp.int32),
-                            stk_.astype(jnp.int32), hl_, ob_.astype(jnp.int32))
+                    def with_reflect(args):
+                        x0_, y0_, x1_, y1_, act_, hitl_, oob_ = args
+                        wbd_rows = wbd[pl.ds(bank, 1)][0].reshape(wc, BL)
+                        xr_, yr_, ex_, stk_, hl_, ob_ = reflect_block(
+                            par_ref, wbd_rows, oy_f, ox_f, x0_, y0_,
+                            x1_, y1_, act_ != 0, hitl_, oob_ != 0)
+                        return (xr_, yr_, ex_.astype(jnp.int32),
+                                stk_.astype(jnp.int32), hl_,
+                                ob_.astype(jnp.int32))
 
-                def no_reflect(args):
-                    x0_, y0_, x1_, y1_, act_, hitl_, oob_ = args
-                    false = jnp.zeros((PS, 128), jnp.int32)
-                    return x1_, y1_, false, false, hitl_, oob_
+                    def no_reflect(args):
+                        x0_, y0_, x1_, y1_, act_, hitl_, oob_ = args
+                        false = jnp.zeros((PS, 128), jnp.int32)
+                        return x1_, y1_, false, false, hitl_, oob_
 
-                xri, yri, exitedi, stucki, hitl, oobi2 = jax.lax.cond(
-                    any_seg, with_reflect, no_reflect,
-                    (xv, yv, x1, y1, act.astype(jnp.int32), hitl,
-                     oob.astype(jnp.int32)))
-                xr, yr = xri, yri
-                exited = exitedi != 0
-                stuck = stucki != 0
-                oob = oobi2 != 0
-                # max-displacement guard (mirrors physics.boundary.reflect):
-                # a candidate per-axis displacement beyond the 3x3
-                # bucket's guaranteed-detection radius could tunnel past
-                # segments not in its bucket/window -> flag ERROR, never
-                # silent
-                over_d = (((x1 - xv) * (x1 - xv)
-                           > par_ref[_IDX_MAXSTEP2])
-                          | ((y1 - yv) * (y1 - yv)
-                             > par_ref[_IDX_MAXSTEP2Y]))
-                stuck = stuck | (act & ~exited & over_d)
+                    xri, yri, exitedi, stucki, hitl, oobi2 = jax.lax.cond(
+                        any_seg, with_reflect, no_reflect,
+                        (xv, yv, x1, y1, act.astype(jnp.int32), hitl,
+                         oob.astype(jnp.int32)))
+                    xr, yr = xri, yri
+                    exited = exitedi != 0
+                    stuck = stucki != 0
+                    oob = oobi2 != 0
+                    # max-displacement guard (mirrors
+                    # physics.boundary.reflect): a candidate per-axis
+                    # displacement beyond the 3x3 bucket's guaranteed-
+                    # detection radius could tunnel past segments not in
+                    # its bucket/window -> flag ERROR, never silent
+                    over_d = (((x1 - xv) * (x1 - xv)
+                               > par_ref[_IDX_MAXSTEP2])
+                              | ((y1 - yv) * (y1 - yv)
+                                 > par_ref[_IDX_MAXSTEP2Y]))
+                    stuck = stuck | (act & ~exited & over_d)
 
                 # vertical reflection about zeta/h at the new column (t+idt)
-                tx = (xr - par_ref[_IDX_X0]) * par_ref[_IDX_INVDX]
-                ty = (yr - par_ref[_IDX_Y0]) * par_ref[_IDX_INVDY]
+                if curv_mode:
+                    tx = ti1
+                    ty = tj1
+                else:
+                    tx = (xr - par_ref[_IDX_X0]) * par_ref[_IDX_INVDX]
+                    ty = (yr - par_ref[_IDX_Y0]) * par_ref[_IDX_INVDY]
                 ii2 = jnp.clip(jnp.floor(tx), 0.0, float(nx - 2))
                 jj2 = jnp.clip(jnp.floor(ty), 0.0, float(ny - 2))
                 fx = jnp.clip(tx - ii2, 0.0, 1.0)
@@ -1018,6 +1231,9 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                 xv = jnp.where(act, xr, xv)
                 yv = jnp.where(act, yr, yv)
                 zv = jnp.where(act, zr, zv)
+                if curv_mode:
+                    tiv = jnp.where(act, ti1, tiv)
+                    tjv = jnp.where(act, tj1, tjv)
                 st = jnp.where(act & exited, _OUT_OF_DOMAIN, st)
                 st = jnp.where(act & stuck, _ERROR, st)
                 if mortality:
@@ -1065,6 +1281,10 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                     spol = jnp.where(settles & (spol < 0),
                                      s_pid.astype(jnp.int32), spol)
                     oob = oob | (base_el & (s_state > 1.5))
+                if curv_mode:
+                    return (xv, yv, zv, tiv, tjv, st, spol, sal, tem,
+                            hitl, hitb, oob.astype(jnp.int32),
+                            c0y, c0x, c1y, c1x, if0, if1, im, jm)
                 return (xv, yv, zv, st, spol, sal, tem, hitl, hitb,
                         oob.astype(jnp.int32), c0y, c0x, c1y, c1x,
                         if0, if1, im, jm)
@@ -1074,13 +1294,22 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
 
         # bank-1 content starts at an impossible origin so the first
         # prefetch into it can never be skipped
-        (xv, yv, zv, st, spol, sal, tem, hitl, hitb, oobi,
-         _, _, _, _, _, _, _, _) = jax.lax.fori_loop(
-            0, n_int, body,
-            (xv, yv, zv, st, spol, sal, tem, hitl, hitb,
-             oob.astype(jnp.int32), oy0, ox0,
-             jnp.int32(-1 << 20), jnp.int32(-1 << 20),
-             jnp.int32(1), jnp.int32(0), im0, jm0))
+        init_dma = (oy0, ox0, jnp.int32(-1 << 20), jnp.int32(-1 << 20),
+                    jnp.int32(1), jnp.int32(0), im0, jm0)
+        if curv_mode:
+            (xv, yv, zv, tiv, tjv, st, spol, sal, tem, hitl, hitb,
+             oobi, *_) = jax.lax.fori_loop(
+                0, n_int, body,
+                (xv, yv, zv, tiv0, tjv0, st, spol, sal, tem, hitl,
+                 hitb, oob.astype(jnp.int32)) + init_dma)
+            tio_ref[0] = tiv
+            tjo_ref[0] = tjv
+        else:
+            (xv, yv, zv, st, spol, sal, tem, hitl, hitb, oobi,
+             *_) = jax.lax.fori_loop(
+                0, n_int, body,
+                (xv, yv, zv, st, spol, sal, tem, hitl, hitb,
+                 oob.astype(jnp.int32)) + init_dma)
         oob = oobi != 0
         xo_ref[0] = xv
         yo_ref[0] = yv
@@ -1112,6 +1341,7 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
                    spols=None,
                    salt_on: bool = False, with_scalars: bool = False,
                    salts=None, temps=None,
+                   wxy=None, tis=None, tjs=None,
                    interpret: bool = False):
     """Run one full external step in-kernel.
 
@@ -1125,7 +1355,17 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
     swimfast, Kp, thresh; rngk must carry the BEHAVE/MORTALITY pairs —
     rng_keys_array(behave=True)); settle_on needs ``beh['pediage']``
     and spols (settle_poly ids, -1 unset).
-    Returns (x, y, z, status, settle_poly, hit_land, hit_bottom, oob).
+
+    CURVILINEAR grids: pass ``wxy`` (curv_xy_table) plus ``tis``/
+    ``tjs`` (per-particle logical coordinates, grid.logical_coords of
+    x/y — params must come from params_static_ext(curv=True) so the
+    kernel's lattice arithmetic runs on logical coordinates); the
+    return tuple gains updated (ti, tj) at the end.  Boundary-
+    interacting particles are deferred to the exact patch via the oob
+    flag (see _make_ext_kernel curv_mode).
+
+    Returns (x, y, z, status, settle_poly, salt, temp, hit_land,
+    hit_bottom, oob[, ti, tj]).
     """
     from . import gather_interp as gi
     from .. import packed as pk
@@ -1160,6 +1400,13 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
         window = (wy, wx)
     from ..grid import affine_ladders
     ladder = affine_ladders(grid) if sfast else None
+    curv_mode = wxy is not None
+    if curv_mode:
+        # the curv kernel covers passive/sinking transport (+turbulence
+        # +mortality); swimming behaviors, settlement and salt sampling
+        # drop to the per-step XLA path (step.mode_flags gates them)
+        assert behavior in (0, 6) and not settle_on and not salt_on
+        assert tis is not None and tjs is not None
     kern = _make_ext_kernel(grid, float(sigma), float(idt), nv, ntot,
                             HL, BL, n_int, n_iter, P_, precision,
                             open_exits=open_exits, s_max=s_real,
@@ -1169,7 +1416,8 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
                             sink_on=sink_on, mortality=mortality,
                             ladder=ladder, behavior=behavior, beh=beh,
                             settle_on=settle_on, align_x8=align_x8,
-                            salt_on=salt_on, salt0=salt0)
+                            salt_on=salt_on, salt0=salt0,
+                            curv_mode=curv_mode)
 
     fshape = jax.ShapeDtypeStruct((B, PS, 128), jnp.float32)
     ishape = jax.ShapeDtypeStruct((B, PS, 128), jnp.int32)
@@ -1177,24 +1425,29 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
     def blk(b, par_ref, rngk_ref):
         return (b, 0, 0)
 
+    n_in = 11 if curv_mode else 9
+    n_out = 12 if curv_mode else 10
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,                          # params, rngk
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, PS, 128), blk, memory_space=pltpu.VMEM)
-        ] * 9 + [
+        ] * n_in + [
             pl.BlockSpec(memory_space=pl.ANY),             # rtab (HBM)
             pl.BlockSpec(memory_space=pl.ANY),             # brows
-        ],
+        ] + ([pl.BlockSpec(memory_space=pl.ANY)]           # wxy
+             if curv_mode else []),
         out_specs=[pl.BlockSpec((1, PS, 128), blk,
-                                memory_space=pltpu.VMEM)] * 10,
+                                memory_space=pltpu.VMEM)] * n_out,
         scratch_shapes=[
             # double-banked windows: bank i%2 computes step i while the
             # other bank prefetches step i+1 (predictive DMA overlap);
             # the 3 record windows share one strided copy
             pltpu.VMEM((2, 3, wy, wx, HL), jnp.float32),
             pltpu.VMEM((2, wy, wx, BL), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+        ] + ([pltpu.VMEM((2, wy, wx, 128), jnp.float32)]
+             if curv_mode else []) + [
+            pltpu.SemaphoreType.DMA((2, 3 if curv_mode else 2)),
         ],
     )
 
@@ -1211,16 +1464,32 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
         salts = jnp.zeros(n, jnp.float32)
     if temps is None:
         temps = jnp.zeros(n, jnp.float32)
-    (xo, yo, zo, sto, spolo, salo, temo, hitl, hitb,
-     oob) = pl.pallas_call(
-        kern,
-        out_shape=[fshape, fshape, fshape, ishape, ishape, fshape,
-                   fshape, ishape, ishape, ishape],
+    ins = [params, rngk, rs(x, jnp.float32), rs(y, jnp.float32),
+           rs(z, jnp.float32)]
+    if curv_mode:
+        ins += [rs(tis, jnp.float32), rs(tjs, jnp.float32)]
+    ins += [rs(dob, jnp.float32), rs(status, jnp.int32),
+            rs(pids, jnp.int32), rs(spols, jnp.int32),
+            rs(salts, jnp.float32), rs(temps, jnp.float32), rtab, brows]
+    if curv_mode:
+        ins.append(wxy)
+    out_shape = [fshape, fshape, fshape]
+    if curv_mode:
+        out_shape += [fshape, fshape]
+    out_shape += [ishape, ishape, fshape, fshape, ishape, ishape,
+                  ishape]
+    outs = pl.pallas_call(
+        kern, out_shape=out_shape,
         grid_spec=grid_spec, interpret=interpret,
-    )(params, rngk, rs(x, jnp.float32), rs(y, jnp.float32),
-      rs(z, jnp.float32), rs(dob, jnp.float32), rs(status, jnp.int32),
-      rs(pids, jnp.int32), rs(spols, jnp.int32),
-      rs(salts, jnp.float32), rs(temps, jnp.float32), rtab, brows)
+    )(*ins)
+    if curv_mode:
+        (xo, yo, zo, tio, tjo, sto, spolo, salo, temo, hitl, hitb,
+         oob) = outs
+        return (xo.reshape(n), yo.reshape(n), zo.reshape(n),
+                sto.reshape(n), spolo.reshape(n), salo.reshape(n),
+                temo.reshape(n), hitl.reshape(n), hitb.reshape(n),
+                oob.reshape(n) != 0, tio.reshape(n), tjo.reshape(n))
+    (xo, yo, zo, sto, spolo, salo, temo, hitl, hitb, oob) = outs
     return (xo.reshape(n), yo.reshape(n), zo.reshape(n), sto.reshape(n),
             spolo.reshape(n), salo.reshape(n), temo.reshape(n),
             hitl.reshape(n), hitb.reshape(n), oob.reshape(n) != 0)

@@ -384,17 +384,21 @@ def run_sharded(cfg: Config, resume: bool = False,
     t0 = time.perf_counter()
 
     grid = load_grid(cfg)
-    if grid.curv is not None:
+    if grid.curv is not None and cfg.mesh_tiles > 1:
         raise NotImplementedError(
-            "curvilinear grids run on the single-device driver for now "
-            "(mesh_particles = mesh_tiles = 1); the tiled shard_map step "
-            "slices rectilinear eta strips")
+            "curvilinear grids shard over the PARTICLE axis only "
+            "(mesh_particles = N, mesh_tiles = 1): eta-strip domain "
+            "tiles assume rectilinear row slicing.  Particle data "
+            "parallelism covers the multi-chip scaling need — "
+            "particles are independent given the (replicated) fields.")
     ctx = build_context(cfg, grid)
     global_rec = 0
 
     ndp, ntiles = cfg.mesh_particles, cfg.mesh_tiles
     spec = shard.make_spec(cfg, grid.ny, cfg.numpar, ndp, ntiles,
-                           halo=cfg.halo_rows, slack=cfg.migrate_capacity)
+                           halo=0 if grid.curv is not None
+                           else cfg.halo_rows,
+                           slack=cfg.migrate_capacity)
     mesh = shard.make_mesh(spec)
     # per-host hyperslab reads (SURVEY.md SS5.8): each host reads only
     # the eta rows its tiles own; halos ride the in-step ppermute
@@ -408,7 +412,10 @@ def run_sharded(cfg: Config, resume: bool = False,
     base_key = jr.key(cfg.seed)
     from .step import mode_flags as _mf, resolve_oob_frac as _rof
     cfg.oob_frac = _rof(cfg, ctx)   # auto patch capacity (uniform est.)
-    use_mega = _mf(ctx, cfg)[2]
+    # the tiled megakernel path is rectilinear-only (per-tile strip
+    # params); curvilinear dp-sharded runs take the packed-XLA tiled
+    # body (single tile, grid passed through whole)
+    use_mega = _mf(ctx, cfg)[2] and grid.curv is None
     mega = shard.build_mega_tiled(ctx, cfg, spec) if use_mega else None
     n_fuse = max(1, cfg.ext_fuse)
     step_cache = {}

@@ -488,15 +488,22 @@ def make_tiled_step(ctx: StepContext, cfg: Config, spec: TileSpec,
 
         # --- per-tile local grid -----------------------------------------
         y_loc = ts.y_rho_t[0]
-        grid_loc = Grid(
-            x_rho=grid.x_rho, y_rho=y_loc, x_u=grid.x_u,
-            y_v=ts.y_v_t[0], h=ts.h_t[0], mask_rho=ts.mask_rho_t[0],
-            mask_u=ts.mask_u_t[0], mask_v=ts.mask_v_t[0],
-            s_rho=grid.s_rho, Cs_r=grid.Cs_r, s_w=grid.s_w,
-            Cs_w=grid.Cs_w, hc=grid.hc, vtransform=grid.vtransform,
-            uniform=grid.uniform)
-        ctx_loc = StepContext(grid=grid_loc, bounds=ctx.bounds,
-                              polys=ctx.polys, holes=ctx.holes)
+        if grid.curv is not None:
+            # curvilinear: single tile (run.py enforces mesh_tiles == 1,
+            # halo == 0), so the "local" grid IS the global grid — the
+            # inverse-map locate needs the whole 2-D coordinate mesh
+            grid_loc = grid
+            ctx_loc = ctx
+        else:
+            grid_loc = Grid(
+                x_rho=grid.x_rho, y_rho=y_loc, x_u=grid.x_u,
+                y_v=ts.y_v_t[0], h=ts.h_t[0], mask_rho=ts.mask_rho_t[0],
+                mask_u=ts.mask_u_t[0], mask_v=ts.mask_v_t[0],
+                s_rho=grid.s_rho, Cs_r=grid.Cs_r, s_w=grid.s_w,
+                Cs_w=grid.Cs_w, hc=grid.hc, vtransform=grid.vtransform,
+                uniform=grid.uniform)
+            ctx_loc = StepContext(grid=grid_loc, bounds=ctx.bounds,
+                                  polys=ctx.polys, holes=ctx.holes)
 
         p = jax.tree.map(lambda a: a.reshape(a.shape[2:]), pbuf)
         x_mid = grid.x_rho[grid.nx // 2]

@@ -26,7 +26,8 @@ from . import spatial as sp
 from . import state as st
 from .config import Config
 from .fields import FieldSet
-from .grid import Grid, affine_ladders as _affine_ladders, locate
+from .grid import (Grid, affine_ladders as _affine_ladders, locate,
+                   logical_coords)
 from .kernels import gather_interp as gi
 from .physics import behavior as bh
 from .physics import boundary as bd
@@ -393,6 +394,22 @@ def mode_flags(ctx: StepContext, cfg: Config):
     use_kernel = (use_fast and cfg.kernel_interp and ctx.grid.uniform
                   and cfg.dtype_pos == "float32"
                   and jax.default_backend() == "tpu")
+    # CURVILINEAR megakernel: particles carry logical coordinates and
+    # the kernel refines them with in-window Newton steps against the
+    # xy corner window (kernels.ext_step curv_mode); covers passive /
+    # sinking transport + turbulence + mortality — swimming behaviors,
+    # settlement and salt sampling stay on the per-step XLA path, and
+    # ALL boundary interaction defers to the exact patch
+    use_mega_curv = (use_fast and cfg.kernel_interp
+                     and ctx.grid.curv is not None
+                     and cfg.dtype_pos == "float32"
+                     and jax.default_backend() == "tpu"
+                     and cfg.kernel_precision == "pair2"
+                     and cfg.kernel_sfast
+                     and _affine_ladders(ctx.grid) is not None
+                     and cfg.Behavior in (0, 6)
+                     and not cfg.settlementon and not cfg.SaltTempOn
+                     and not (cfg.mortality and cfg.stochastic_mortality))
     # the whole-external-step megakernel covers advection + boundary +
     # turbulence (in-kernel Threefry streams identical to ltjax.rng),
     # behaviors 0-6 (zone-biased walks, DVM, salinity-cued ontogeny,
@@ -409,10 +426,25 @@ def mode_flags(ctx: StepContext, cfg: Config):
     # stochastic mortality stays on the per-step path (its DEATH draw
     # is not in the kernel's rngk layout; deterministic mortality — the
     # default — is in-kernel)
-    use_mega = (use_kernel
-                and (not needs_salt or salt_ok)
-                and not (cfg.mortality and cfg.stochastic_mortality))
+    use_mega = ((use_kernel
+                 and (not needs_salt or salt_ok)
+                 and not (cfg.mortality and cfg.stochastic_mortality))
+                or use_mega_curv)
     return use_fast, use_kernel, use_mega
+
+
+def _sort_cells(grid: Grid, p: st.Particles, ti=None, tj=None):
+    """Hilbert-sort cell indices — curvilinear-aware (logical cells
+    from carried/recomputed logical coordinates)."""
+    if grid.curv is not None:
+        if ti is None:
+            ti, tj = logical_coords(grid, p.x, p.y)
+        ci = jnp.clip(jnp.floor(ti), 0, grid.nx - 1).astype(jnp.int32)
+        cj = jnp.clip(jnp.floor(tj), 0, grid.ny - 1).astype(jnp.int32)
+        return ci, cj
+    ci, _ = locate(grid.x_rho, p.x, grid.uniform)
+    cj, _ = locate(grid.y_rho, p.y, grid.uniform)
+    return ci, cj
 
 
 def _sort_band(cfg: Config, grid: Grid, p: st.Particles, ci, cj):
@@ -453,6 +485,8 @@ def make_external_step(ctx: StepContext, cfg: Config, base_key):
             polys=ctx.polys if cfg.settlementon else None,
             holes=ctx.holes))
         s_max = boundary_s_max(ctx.bounds)
+        wxy = (jnp.asarray(es.curv_xy_table(ctx.grid, ctx.bounds))
+               if ctx.grid.curv is not None else None)
 
     mega_aks = use_mega and cfg.VTurbOn and cfg.readAks
     mega_sc = use_mega and cfg.SaltTempOn
@@ -464,12 +498,11 @@ def make_external_step(ctx: StepContext, cfg: Config, base_key):
                                         with_scalars=mega_sc)
                 if use_fast else None)
 
-        if use_kernel:
+        if use_kernel or use_mega:
             # Hilbert sort once per external step: the kernels' VMEM
             # window scheme needs spatially compact particle blocks
             # (aspect-matched to non-square windows)
-            ci, _ = locate(ctx.grid.x_rho, p.x, ctx.grid.uniform)
-            cj, _ = locate(ctx.grid.y_rho, p.y, ctx.grid.uniform)
+            ci, cj = _sort_cells(ctx.grid, p)
             p, perm = sp.sort_by_cell(
                 p, ci, cj, aspect_y=max(1, cfg.kernel_wy // cfg.kernel_wx),
                 depth_band=_sort_band(cfg, ctx.grid, p, ci, cj),
@@ -477,7 +510,9 @@ def make_external_step(ctx: StepContext, cfg: Config, base_key):
 
         if use_mega:
             p2 = _mega_external_step(ctx, cfg, base_key, p, fields, prec,
-                                     brows, s_max, t0, ext_idx)
+                                     brows, s_max, t0, ext_idx, wxy=wxy)
+            if ctx.grid.curv is not None:
+                p2 = p2[0]        # (out, ti, tj) — ti/tj not carried here
         else:
             mode = "kernel" if use_kernel else "packed"
 
@@ -489,7 +524,7 @@ def make_external_step(ctx: StepContext, cfg: Config, base_key):
                                      step_idx, prec, mode=mode), None
 
             p2, _ = jax.lax.scan(body, p, jnp.arange(n_int))
-        if use_kernel:
+        if use_kernel or use_mega:
             p2 = sp.unsort(p2, perm)
         return p2
 
@@ -525,12 +560,15 @@ def make_fused_external_steps(ctx: StepContext, cfg: Config, base_key,
     grid = ctx.grid
     n_int = cfg.internal_steps
     dt = float(cfg.dt)
+    curv = grid.curv is not None
     mega_aks = cfg.VTurbOn and cfg.readAks
     mega_sc = cfg.SaltTempOn
     brows = jnp.asarray(es.boundary_rows_table(
         ctx.bounds, grid.ny, grid.nx,
         polys=ctx.polys if cfg.settlementon else None, holes=ctx.holes))
     s_max = boundary_s_max(ctx.bounds)
+    wxy = (jnp.asarray(es.curv_xy_table(grid, ctx.bounds))
+           if curv else None)
 
     @jax.jit
     def fused(p: st.Particles, fsR: FieldSet, t0, ext_idx0):
@@ -538,9 +576,20 @@ def make_fused_external_steps(ctx: StepContext, cfg: Config, base_key,
                                            with_scalars=mega_sc)
         rtab_all = pk.build_record_tables(
             grid, prec_all, paired=cfg.kernel_precision == "pair2")
+        if curv:
+            # logical coordinates computed ONCE per fused call, then
+            # CARRIED: the kernel outputs refreshed values and the
+            # patch corrects its subset, so the full-batch seed-raster
+            # Newton (12 row gathers/particle) amortizes over n_fuse
+            # external steps
+            ti0, tj0 = logical_coords(grid, p.x, p.y)
+            ti0 = ti0.astype(jnp.float32)
+            tj0 = tj0.astype(jnp.float32)
+        else:
+            ti0 = tj0 = jnp.zeros((0,), jnp.float32)
 
         def body(carry, e):
-            pp, cum = carry
+            pp, cum, tis, tjs = carry
 
             # Hilbert re-sort every cfg.ext_sort_every external steps
             # (composing the permutation).  Blocks stay coherent over a
@@ -551,19 +600,23 @@ def make_fused_external_steps(ctx: StepContext, cfg: Config, base_key,
             # a config DOES develop lands in the exact patch (and, on
             # overflow, in visible ERROR counts), never in silent error.
             def do_sort(args):
-                pp, cum = args
-                ci, _ = locate(grid.x_rho, pp.x, grid.uniform)
-                cj, _ = locate(grid.y_rho, pp.y, grid.uniform)
+                pp, cum, tis, tjs = args
+                ci, cj = _sort_cells(grid, pp,
+                                     *((tis, tjs) if curv else (None,
+                                                                None)))
                 ps, perm = sp.sort_by_cell(
                     pp, ci, cj,
                     aspect_y=max(1, cfg.kernel_wy // cfg.kernel_wx),
                     depth_band=_sort_band(cfg, grid, pp, ci, cj),
                     n_bands=cfg.sort_depth_bands)
-                return ps, cum[perm]
+                if curv:
+                    return ps, cum[perm], tis[perm], tjs[perm]
+                return ps, cum[perm], tis, tjs
 
             se = max(1, cfg.ext_sort_every)
-            pp, cum = jax.lax.cond((e % se) == 0, do_sort,
-                                   lambda a: a, (pp, cum))
+            pp, cum, tis, tjs = jax.lax.cond((e % se) == 0, do_sort,
+                                             lambda a: a,
+                                             (pp, cum, tis, tjs))
             tab3 = jax.lax.dynamic_slice_in_dim(prec_all.tab, e, 3, 0)
             times3 = jax.lax.dynamic_slice_in_dim(fsR.times, e, 3, 0)
             prec3 = pk.PackedRecords(tab=tab3, times=times3,
@@ -573,14 +626,20 @@ def make_fused_external_steps(ctx: StepContext, cfg: Config, base_key,
             f3 = FieldSet(
                 *(jax.lax.dynamic_slice_in_dim(a, e, 3, 0)
                   for a in fsR[:-1]), times=times3)
-            pp = _mega_external_step(
+            res = _mega_external_step(
                 ctx, cfg, base_key, pp, f3, prec3, brows, s_max,
                 t0 + e.astype(p.x.dtype) * dt, ext_idx0 + e, rtab=rtab3,
-                interpret=interpret)
-            return (pp, cum), None
+                interpret=interpret, wxy=wxy,
+                tis=tis if curv else None, tjs=tjs if curv else None)
+            if curv:
+                pp, tis, tjs = res
+            else:
+                pp = res
+            return (pp, cum, tis, tjs), None
 
         cum0 = jnp.arange(p.n, dtype=jnp.int32)
-        (ps, cum), _ = jax.lax.scan(body, (p, cum0), jnp.arange(n_fuse))
+        (ps, cum, _, _), _ = jax.lax.scan(body, (p, cum0, ti0, tj0),
+                                          jnp.arange(n_fuse))
         return sp.unsort(ps, cum)
 
     return fused
@@ -590,7 +649,8 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
                         p: st.Particles, fields: FieldSet, prec, brows,
                         s_max: int, t0, ext_idx,
                         rtab=None, interpret: bool = False,
-                        params_static=None) -> st.Particles:
+                        params_static=None, wxy=None,
+                        tis=None, tjs=None):
     """One external step through the whole-external-step Pallas kernel
     (ltjax.kernels.ext_step) + exact XLA recompute of out-of-window
     particles via the collapsed mirror path.
@@ -598,15 +658,26 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
     ``rtab`` (the (3, Ny, Nx, HL) record tables) may be passed in by
     callers that already hold them (the fused multi-step driver slices
     them from a stacked record window); built from ``prec`` otherwise.
+
+    ``wxy`` (kernels.ext_step.curv_xy_table) engages the CURVILINEAR
+    kernel; ``tis``/``tjs`` optionally carry the particles' logical
+    coordinates (computed here when absent), and the return becomes
+    ``(out, tis', tjs')`` with the patch subset's values recomputed
+    exactly.
     """
     from .kernels import ext_step as es
 
     grid = ctx.grid
+    curv = wxy is not None
     n_int = cfg.internal_steps
     idt = float(cfg.idt)
     n = p.n
     pb = cfg.kernel_block
     pad = (-n) % pb
+    if curv and tis is None:
+        tis, tjs = logical_coords(grid, p.x, p.y)
+        tis = tis.astype(jnp.float32)
+        tjs = tjs.astype(jnp.float32)
 
     if rtab is None:
         rtab = pk.build_record_tables(
@@ -635,7 +706,7 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
             const_vturb=(cfg.ConstantVTurb if cfg.VTurbOn else 0.0),
             sink=(cfg.sink if cfg.Behavior == 6 else 0.0),
             deadage=(cfg.deadage if cfg.mortality else float("inf")),
-            dvm=dvm)
+            dvm=dvm, curv=curv)
     rngk = (es.rng_keys_array(base_key, ext_idx, n_int, behave=beh_swim)
             if (cfg.HTurbOn or cfg.VTurbOn or beh_swim) else None)
 
@@ -647,8 +718,7 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
         return jnp.concatenate([a, jnp.broadcast_to(tailv, (pad,))])
 
     # pad slots are NOT_RELEASED with dob=+inf: never activate, never move
-    (xo, yo, zo, sto, spolo, salo, temo, hitl, hitb,
-     oob) = es.ext_step_fused(
+    res = es.ext_step_fused(
         grid, rtab, brows, params,
         padded(p.x), padded(p.y), padded(p.z),
         padded(p.dob, jnp.inf),
@@ -667,7 +737,16 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
         settle_on=settle_on, spols=padded(p.settle_poly, -1),
         salt_on=cfg.SaltTempOn, with_scalars=prec.with_scalars,
         salts=padded(p.salt), temps=padded(p.temp),
+        wxy=wxy,
+        tis=padded(tis) if curv else None,
+        tjs=padded(tjs) if curv else None,
         interpret=interpret)
+    if curv:
+        (xo, yo, zo, sto, spolo, salo, temo, hitl, hitb, oob,
+         tio, tjo) = res
+        tio, tjo = tio[:n], tjo[:n]
+    else:
+        (xo, yo, zo, sto, spolo, salo, temo, hitl, hitb, oob) = res
     xo, yo, zo = xo[:n], yo[:n], zo[:n]
     sto, hitl, hitb, oob = sto[:n], hitl[:n], hitb[:n], oob[:n]
     spolo, salo, temo = spolo[:n], salo[:n], temo[:n]
@@ -782,7 +861,18 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
                                lambda o, lo=lo, hi=hi: patch_chunk(
                                    o, lo, hi),
                                lambda o: o, out)
-    return out._replace(status=jnp.where(overflow, st.ERROR, out.status))
+    out = out._replace(status=jnp.where(overflow, st.ERROR, out.status))
+    if curv:
+        # refresh the carried logical coordinates of the patched
+        # subset from their exact (patched) positions — a cap-sized
+        # seed-raster Newton, cheap next to the full-batch one
+        xs = out.x.at[idxs].get(mode="clip")
+        ys = out.y.at[idxs].get(mode="clip")
+        tfi, tfj = logical_coords(grid, xs, ys)
+        tio = tio.at[idxs].set(tfi.astype(jnp.float32), mode="drop")
+        tjo = tjo.at[idxs].set(tfj.astype(jnp.float32), mode="drop")
+        return out, tio, tjo
+    return out
 
 
 def summary_counts(p: st.Particles):

@@ -290,3 +290,121 @@ def test_curvilinear_cli_driver_end_to_end(tmp_path):
     # test_trajectories_match_analytic_curvilinear) + lon/lat IO
     # round-trip at f64
     assert err.max() < 20.0, err.max()
+
+
+def test_curv_fused_driver_matches_collapsed_scan(curv_case):
+    """The full fused curvilinear driver (make_fused_external_steps:
+    megakernel + ti/tj carry + exact patch + sort/unsort) over two
+    external steps vs the pure collapsed-mode XLA scan.  Every particle
+    must agree — deferred/oob particles go through the patch, which IS
+    the collapsed scan, so this pins the whole dispatch machinery."""
+    import jax.random as jr
+    from ltjax import packed as pk
+    from ltjax import state as st
+    from ltjax.config import Config
+    from ltjax.fields import FieldSet
+    from ltjax.step import (StepContext, internal_step,
+                            make_fused_external_steps)
+
+    dtype = jnp.float32
+    g = curv_case.grid
+    bounds = bd.build_boundaries_curv(np.asarray(g.mask_rho),
+                                      curv_case.x2d, curv_case.y2d,
+                                      g.curv)
+    ctx = StepContext(grid=g, bounds=bounds, polys=None, holes=None)
+    cfg = Config(numpar=512, dt=1800, idt=450, us=8, ws=9,
+                 OpenOceanBoundary=True, dtype_pos="float32",
+                 reflect_iters=2, kernel_precision="pair2",
+                 # full-capacity patch: at this test density (2
+                 # particles/cell) most blocks miss their windows —
+                 # the point here is the DISPATCH machinery, not the
+                 # miss rate (the 1M bench density-matches for that)
+                 kernel_block=256, oob_frac=1)
+    fsR = synth.fieldset_window(curv_case, -900.0, 1800.0, 4,
+                                dtype=dtype)
+    rng = np.random.default_rng(7)
+    n = cfg.numpar
+    p0 = st.init_particles(rng.uniform(30e3, 70e3, n),
+                           rng.uniform(30e3, 70e3, n),
+                           rng.uniform(-40.0, -5.0, n), dtype=dtype)
+    p0 = p0._replace(status=jnp.full(n, st.ACTIVE, jnp.int32))
+
+    fused = make_fused_external_steps(ctx, cfg, jr.key(0), 2,
+                                      interpret=True)
+    out = fused(p0, fsR, 0.0, 0)
+
+    pp = p0
+    n_int = cfg.internal_steps
+    for e in range(2):
+        fs3 = FieldSet(*(a[e:e + 3] for a in fsR[:-1]),
+                       times=fsR.times[e:e + 3])
+        prec = pk.build_packed_records(g, fs3)
+        for ii in range(n_int):
+            pp = internal_step(ctx, cfg, jr.key(0), pp, fs3,
+                               e * float(cfg.dt) + ii * float(cfg.idt),
+                               e * n_int + ii, prec, mode="collapsed")
+
+    o = np.argsort(np.asarray(out.pid))
+    r = np.argsort(np.asarray(pp.pid))
+    ok = np.asarray(pp.status)[r] == st.ACTIVE
+    assert ok.sum() > 0.9 * n
+    np.testing.assert_array_equal(np.asarray(out.status)[o],
+                                  np.asarray(pp.status)[r])
+    np.testing.assert_allclose(np.asarray(out.x)[o][ok],
+                               np.asarray(pp.x)[r][ok], rtol=0, atol=1.0)
+    np.testing.assert_allclose(np.asarray(out.y)[o][ok],
+                               np.asarray(pp.y)[r][ok], rtol=0, atol=1.0)
+    np.testing.assert_allclose(np.asarray(out.z)[o][ok],
+                               np.asarray(pp.z)[r][ok], rtol=0,
+                               atol=2e-3)
+
+
+def test_curv_dp_sharded_matches_unsharded(curv_case):
+    """VERDICT r4 missing #2: curvilinear runs are no longer excluded
+    from the sharded driver — particle-DP sharding (mesh_particles = N,
+    mesh_tiles = 1) must reproduce the unsharded step exactly (the
+    fields are replicated; particles are independent)."""
+    import jax
+    import jax.random as jr
+    from ltjax import shard
+    from ltjax import state as st
+    from ltjax.config import Config
+    from ltjax.step import StepContext, make_external_step
+
+    g = curv_case.grid
+    bounds = bd.build_boundaries_curv(np.asarray(g.mask_rho),
+                                      curv_case.x2d, curv_case.y2d,
+                                      g.curv)
+    ctx = StepContext(grid=g, bounds=bounds, polys=None, holes=None)
+    cfg = Config(numpar=96, dt=1800, idt=450, us=8, ws=9,
+                 HTurbOn=True, ConstantHTurb=2.0,
+                 OpenOceanBoundary=True, dtype_pos="float64")
+    fs = synth.fieldset_for(curv_case, t_center=900.0, dt=1800.0)
+    rng = np.random.default_rng(3)
+    n = cfg.numpar
+    p0 = st.init_particles(rng.uniform(30e3, 70e3, n),
+                           rng.uniform(30e3, 70e3, n),
+                           rng.uniform(-40.0, -5.0, n))
+
+    ref = make_external_step(ctx, cfg, jr.key(0))(p0, fs, 0.0, 0)
+
+    spec = shard.make_spec(cfg, g.ny, n, 2, 1, halo=0, slack=3.0)
+    mesh = shard.make_mesh(spec, jax.devices()[:2])
+    tiled = shard.build_tiled_static(g, spec)
+    step = shard.make_tiled_step(ctx, cfg, spec, tiled, mesh, jr.key(0))
+    pbuf = shard.scatter_particles(p0, spec, tiled.tile_edges)
+    pbuf, drops = step(pbuf, shard.pad_fieldset_eta(fs, spec.ny_pad),
+                       0.0, 0)
+    assert int(jnp.sum(drops)) == 0
+    out = shard.gather_particles(pbuf)
+
+    o = np.argsort(np.asarray(out.pid))
+    r = np.argsort(np.asarray(ref.pid))
+    np.testing.assert_array_equal(np.asarray(out.status)[o],
+                                  np.asarray(ref.status)[r])
+    np.testing.assert_allclose(np.asarray(out.x)[o], np.asarray(ref.x)[r],
+                               rtol=0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(out.y)[o], np.asarray(ref.y)[r],
+                               rtol=0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(out.z)[o], np.asarray(ref.z)[r],
+                               rtol=0, atol=1e-10)

@@ -573,3 +573,84 @@ def test_depth_banded_sort_invariance():
                                rtol=0, atol=0.5)
     np.testing.assert_allclose(np.asarray(pb.z)[ok], np.asarray(pa.z)[ok],
                                rtol=0, atol=1e-2)
+
+
+def test_ext_step_curv_megakernel_matches_collapsed_scan():
+    """CURVILINEAR megakernel (logical-state + in-window Newton,
+    interpret mode) vs the collapsed-mode XLA scan on the gently-curved
+    analytic mesh: positions + status must agree for every particle the
+    kernel handled itself (deferred/oob particles — near-boundary cells
+    and window misses — are the step-level patch's job and are excluded
+    here exactly like the uniform-grid test above)."""
+    import jax.random as jr
+    from ltjax import state as st
+    from ltjax import spatial
+    from ltjax.config import Config
+    from ltjax.grid import logical_coords
+    from ltjax.kernels import ext_step as es
+    from ltjax.physics import boundary as bd
+    from ltjax.step import StepContext, internal_step, _sort_cells
+
+    dtype = jnp.float32
+    c = synth.make_curv_case(nx=41, ny=41, us=6, lx=100e3, ly=100e3,
+                             h0=50.0, omega=1e-4, amp=0.03, dtype=dtype)
+    fs = synth.fieldset_for(c, t_center=900.0, dt=1800.0, dtype=dtype)
+    grid = c.grid
+    bounds = bd.build_boundaries_curv(np.asarray(grid.mask_rho),
+                                      c.x2d, c.y2d, grid.curv)
+    ctx = StepContext(grid=grid, bounds=bounds, polys=None, holes=None)
+    cfg = Config(numpar=256, dt=1800, idt=450, us=6, ws=7,
+                 OpenOceanBoundary=True, dtype_pos="float32",
+                 reflect_iters=2, kernel_precision="pair2")
+    n_int = cfg.internal_steps
+
+    rng = np.random.default_rng(5)
+    n = 256
+    x = jnp.asarray(rng.uniform(38e3, 52e3, n), dtype)
+    y = jnp.asarray(rng.uniform(38e3, 52e3, n), dtype)
+    z = jnp.asarray(rng.uniform(-40.0, -5.0, n), dtype)
+    p = st.init_particles(np.asarray(x), np.asarray(y), np.asarray(z),
+                          dtype=dtype)
+    dob = jnp.asarray(rng.choice([0.0, 900.0], n), dtype)
+    p = p._replace(dob=dob)
+    ci, cj = _sort_cells(grid, p)
+    p, _ = spatial.sort_by_cell(p, ci, cj)
+
+    prec = pk.build_packed_records(grid, fs)
+    rtab = pk.build_record_tables(grid, prec, paired=True)
+    brows = jnp.asarray(es.boundary_rows_table(bounds, grid.ny, grid.nx))
+    wxy = jnp.asarray(es.curv_xy_table(grid, bounds))
+    s_max = (int(bounds.cell_rows.shape[1]) - 8) // 8
+    params = es.params_array_ext(grid, bounds, cfg.z0, 0.0, fs.times,
+                                 float(cfg.idt), n_int, curv=True)
+    tis, tjs = logical_coords(grid, p.x, p.y)
+    (xo, yo, zo, sto, spolo, salo, temo, hitl, hitb, oob,
+     tio, tjo) = es.ext_step_fused(
+        grid, rtab, brows, params, p.x, p.y, p.z, p.dob, p.status,
+        cfg.tension_sigma, n_int, float(cfg.idt),
+        n_iter=cfg.reflect_iters, p_block=256, s_max=s_max,
+        precision="pair2", open_exits=True,
+        wxy=wxy, tis=tis.astype(jnp.float32),
+        tjs=tjs.astype(jnp.float32), interpret=True)
+
+    pp = p
+    for ii in range(n_int):
+        pp = internal_step(ctx, cfg, jr.key(0), pp, fs, ii * float(cfg.idt),
+                           ii, prec, mode="collapsed")
+
+    ok = ~np.asarray(oob)
+    # interior release far from the rim: most particles stay in-kernel
+    assert ok.sum() > 0.8 * n
+    np.testing.assert_allclose(np.asarray(xo)[ok], np.asarray(pp.x)[ok],
+                               rtol=0, atol=0.5)
+    np.testing.assert_allclose(np.asarray(yo)[ok], np.asarray(pp.y)[ok],
+                               rtol=0, atol=0.5)
+    np.testing.assert_allclose(np.asarray(zo)[ok], np.asarray(pp.z)[ok],
+                               rtol=0, atol=1e-3)
+    assert np.array_equal(np.asarray(sto)[ok], np.asarray(pp.status)[ok])
+    # the carried logical coordinates track the physical positions
+    tchk_i, tchk_j = logical_coords(grid, xo, yo)
+    np.testing.assert_allclose(np.asarray(tio)[ok],
+                               np.asarray(tchk_i)[ok], rtol=0, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(tjo)[ok],
+                               np.asarray(tchk_j)[ok], rtol=0, atol=2e-3)
