@@ -59,9 +59,13 @@ def build(numpar=1_000_000, nx=200, ny=200, us=20, dt=3600, idt=120,
         # 0.85% -> 45% window misses over 8 external steps at
         # sink=1e-3 in the host-side window simulation.  Transit-heavy
         # runs size the patch capacity to the front (oob_frac 16-32
-        # completes the 4M transit with zero errors — BASELINE.md);
-        # overflow is LOUD (ERROR counts / ErrorFlag), never silent.
-        kw = dict(Behavior=6, sink=2e-4, mortality=True, deadage=5e6)
+        # completes the 4M SPARSE-front transit with zero errors —
+        # BASELINE.md), but a FULL-population transit (45% misses) is
+        # beyond any patch capacity by design; overflow stays LOUD
+        # (ERROR counts / ErrorFlag), never silent.  sink=5e-5 keeps
+        # the front clear of the layer over the 96-ext-step fuse-16
+        # measurement chain (the lanes' cost is magnitude-independent).
+        kw = dict(Behavior=6, sink=5e-5, mortality=True, deadage=5e6)
     elif variant == "dvm":
         kw = dict(Behavior=3, swimslow=1e-3, swimfast=3e-3,
                   pediage=5e6)
@@ -73,7 +77,7 @@ def build(numpar=1_000_000, nx=200, ny=200, us=20, dt=3600, idt=120,
         # the patch capacity with window misses.  Capacity is AUTO
         # (oob_frac=0 -> step.resolve_oob_frac sizes it from the rim
         # occupancy of the release positions; overflow stays loud)
-        kw = dict(Behavior=6, sink=2e-4, settlementon=True,
+        kw = dict(Behavior=6, sink=5e-5, settlementon=True,
                   pediage=0.0)
     elif variant == "salt":
         # salinity-cued ontogenetic migration + SaltTempOn sampling —
@@ -89,11 +93,11 @@ def build(numpar=1_000_000, nx=200, ny=200, us=20, dt=3600, idt=120,
                  reflect_iters=2, **kw)
     if variant == "curv":
         # BASELINE.json config 3's realistic estuary grids are
-        # CURVILINEAR (like the reference's bundled Chesapeake case) —
-        # this row measures the packed-XLA path they run on (the fused
-        # kernels' arithmetic locate requires a uniform grid; all cell
-        # location here goes through the seed-raster + Newton inverse
-        # bilinear map, grid.curv_logical)
+        # CURVILINEAR (like the reference's bundled Chesapeake case).
+        # On TPU this takes the curvilinear MEGAKERNEL (logical-state
+        # particles + in-window Newton, kernels.ext_step curv_mode);
+        # off-TPU it measures the packed-XLA fallback (seed-raster +
+        # Newton inverse bilinear locate, grid.curv_logical)
         case = synth.make_curv_case(nx=nx, ny=ny, us=us, lx=200e3,
                                     ly=200e3, h0=50.0, omega=5e-5,
                                     amp=0.03, dtype=dtype)

@@ -254,7 +254,8 @@ class Config:
                                   #   0 (default) = AUTO: derived from
                                   #   the config by
                                   #   step.resolve_oob_frac — base
-                                  #   n/64 (steady miss rate ~1%),
+                                  #   n/32 (cheap: unused patch
+                                  #   chunks are cond-skipped),
                                   #   raised for sinking-transit
                                   #   configs (sink*dt >= 1 m/ext)
                                   #   and settlement rim-deferral

@@ -338,13 +338,17 @@ def resolve_oob_frac(cfg: Config, ctx: StepContext,
         return cfg.oob_frac
     import numpy as np
     n = cfg.numpar
-    frac = 64
-    if cfg.Behavior == 6 and cfg.sink > 0:
-        dz_ext = float(cfg.sink) * float(cfg.dt)
-        if dz_ext >= 6.0:
-            frac = 16
-        elif dz_ext >= 1.0:
-            frac = 32
+    # base n/32 (~3.1%): the cond-gated patch chunks make UNUSED
+    # capacity nearly free (only chunks the actual miss count reaches
+    # ever run), so the base sizes for the transients long runs
+    # develop — vertical mixing / sinking walks particles into the
+    # bottom log layer where decelerating blocks disperse (measured:
+    # a 96-ext-step turbulent chain overflowed the old n/64)
+    frac = 32
+    if (cfg.Behavior == 6 and cfg.sink > 0
+            and float(cfg.sink) * float(cfg.dt) >= 1.0):
+        # strong sinking fronts peak near 2-3% misses mid-transit
+        frac = 16
     cap = max(256, n // frac)
     if cfg.settlementon and ctx.polys is not None:
         from .kernels import ext_step as es

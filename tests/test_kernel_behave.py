@@ -214,7 +214,7 @@ def test_turbulent_oob_rate_under_patch_capacity():
     frac = resolve_oob_frac(cfg, StepContext(grid=grid, bounds=bounds,
                                              polys=None, holes=None))
     # auto sizing gives this config the base rate, floored at 256 slots
-    assert cfg.numpar // frac == max(256, cfg.numpar // 64)
+    assert cfg.numpar // frac == max(256, cfg.numpar // 32)
     # pin the miss rate below the PRODUCTION 1/64 capacity fraction
     assert oob_frac < 0.85 / 64, oob_frac
 

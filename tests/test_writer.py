@@ -67,3 +67,49 @@ def test_nc_roundtrip_values(tmp_path, particles):
     np.testing.assert_allclose(f.read("depth")[0],
                                np.asarray(particles.z), rtol=0, atol=0)
     f.close()
+
+
+def test_merge_shards_union_and_empty_first_snapshot(tmp_path):
+    """Advisor r4-low: the merged pid set must be the union over ALL
+    snapshots — an all-empty FIRST snapshot (e.g. every slot of a host
+    migrated away before the first output) must not crash, and a pid
+    first seen at a later snapshot must land in its own row, not alias
+    particle 0's."""
+    from ltjax.out.writer import merge_shards
+
+    cfg = Config(numpar=4, outpath=str(tmp_path), NCOutFile="sh",
+                 writeNC=True, writeCSV=False)
+    w = TrajectoryWriter(cfg, shard_tag="_h000")
+
+    def snap(pids, statuses):
+        n = 4
+        arr = np.zeros(n)
+        p = st.Particles(
+            x=jnp.asarray(arr + 1.0), y=jnp.asarray(arr + 2.0),
+            z=jnp.asarray(arr - 5.0), dob=jnp.asarray(arr),
+            age=jnp.asarray(arr), status=jnp.asarray(statuses, jnp.int32),
+            pid=jnp.asarray(pids, jnp.int32),
+            settle_poly=jnp.full(n, -1, jnp.int32),
+            hit_land=jnp.zeros(n, jnp.int32),
+            hit_bottom=jnp.zeros(n, jnp.int32),
+            salt=jnp.asarray(arr), temp=jnp.asarray(arr))
+        return p
+
+    EMPTY = -1
+    # snapshot 0: ALL slots empty (previously crashed pids.max())
+    w.snapshot(0.0, snap([0, 0, 0, 0], [EMPTY] * 4))
+    # snapshot 1: pids 7 and 3 appear
+    w.snapshot(1.0, snap([7, 3, 0, 0], [1, 1, EMPTY, EMPTY]))
+    # snapshot 2: pid 11 appears late (previously aliased onto row 0)
+    w.snapshot(2.0, snap([7, 3, 11, 0], [1, 1, 1, EMPTY]))
+    w.close()
+
+    out = os.path.join(tmp_path, "merged.nc")
+    merge_shards([os.path.join(tmp_path, "sh_h000.nc")], out)
+    f = NCFile(out)
+    pids = np.asarray(f.read("pid"))
+    np.testing.assert_array_equal(pids, [3, 7, 11])
+    color = np.asarray(f.read("color"))
+    assert color.shape == (3, 3)
+    # pid 11 absent before snapshot 2 -> zero-filled rows, present after
+    assert color[2, list(pids).index(11)] == 1
