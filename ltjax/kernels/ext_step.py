@@ -385,7 +385,7 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                      ladder=None, behavior: int = 0, beh=None,
                      settle_on: bool = False, align_x8: bool = False,
                      salt_on: bool = False, salt0: int = 0,
-                     curv_mode: bool = False):
+                     curv_mode: bool = False, aks_split: bool = False):
     P = p_block
     PS = P // 128
     wy, wx = window
@@ -554,6 +554,16 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
              xo_ref, yo_ref, zo_ref, tio_ref, tjo_ref, sto_ref,
              spolo_ref, salo_ref, temo_ref, hitl_ref, hitb_ref,
              oob_ref, wtab, wbd, wxyw, sems) = refs
+        elif aks_split:
+            # Aks-split variant: a separate paired 128-lane Aks record
+            # table + window (build_record_tables_split) keeps the main
+            # tables at HL 128 (16x8 window, 1x blend)
+            (par_ref, rngk_ref, x_ref, y_ref, z_ref, dob_ref, st_ref,
+             pid_ref, spol_ref, sal_ref, tem_ref, tab_hbm, brows_hbm,
+             aks_hbm,
+             xo_ref, yo_ref, zo_ref, sto_ref, spolo_ref, salo_ref,
+             temo_ref, hitl_ref, hitb_ref, oob_ref,
+             wtab, wbd, waks, sems) = refs
         else:
             (par_ref, rngk_ref, x_ref, y_ref, z_ref, dob_ref, st_ref,
              pid_ref, spol_ref, sal_ref, tem_ref, tab_hbm, brows_hbm,
@@ -597,6 +607,10 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                 cps.append(pltpu.make_async_copy(
                     wxy_hbm.at[pl.ds(oy, wy), pl.ds(ox, wx), :],
                     wxyw.at[bank], sems.at[bank, 2]))
+            if aks_split:
+                cps.append(pltpu.make_async_copy(
+                    aks_hbm.at[:, pl.ds(oy, wy), pl.ds(ox, wx), :],
+                    waks.at[bank], sems.at[bank, 2]))
             return cps
 
         def dma_start(bank, oy, ox):
@@ -963,9 +977,48 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                     if vturb_aks:
                         # Visser RDM on the spline-fit Aks(z) profile
                         # (mirrors ltjax.physics.turb.vturb)
-                        bl1 = aux1[0]
-                        prof_a = [jnp.maximum(bl1[nv + k], 0.0)
-                                  for k in range(ws)]
+                        if aks_split:
+                            # gather the profile from the SPLIT Aks
+                            # window at the stage-1 position (same
+                            # pair2 row-blend scheme; one extra small
+                            # pair_dot per step instead of 2x-wide
+                            # main tables — BASELINE.md round-5)
+                            txa = ((xv - par_ref[_IDX_X0])
+                                   * par_ref[_IDX_INVDX])
+                            tya = ((yv - par_ref[_IDX_Y0])
+                                   * par_ref[_IDX_INVDY])
+                            ia = jnp.clip(jnp.floor(txa), 0.0,
+                                          float(nx - 2))
+                            ja = jnp.clip(jnp.floor(tya), 0.0,
+                                          float(ny - 2))
+                            fxa = jnp.clip(txa - ia, 0.0, 1.0)
+                            fya = jnp.clip(tya - ja, 0.0, 1.0)
+                            lia = jnp.clip(ia - ox_f, 0.0,
+                                           float(wx - 1))
+                            lja = jnp.clip(ja - oy_f, 0.0,
+                                           float(wy - 2))
+                            fyq = (jnp.round(fya * 256.0)
+                                   * jnp.float32(1.0 / 256.0))
+                            wta = make_rowpair_onehot(lia, lja, fyq,
+                                                      P, wy, wx)
+                            wa3 = waks[pl.ds(bank, 1)][0]
+                            HLa = ((2 * ws + 63) // 64) * 64
+                            c_a = coef0 + 9 * i
+                            wac = (par_ref[c_a]
+                                   * wa3[0].reshape(wc, 128)[:, :HLa]
+                                   + par_ref[c_a + 1]
+                                   * wa3[1].reshape(wc, 128)[:, :HLa]
+                                   + par_ref[c_a + 2]
+                                   * wa3[2].reshape(wc, 128)[:, :HLa])
+                            bla = pair_dot(wac, wta).reshape(
+                                HLa, PS, 128)
+                            prof_a = [jnp.maximum(
+                                bla[k] + fxa * (bla[ws + k] - bla[k]),
+                                0.0) for k in range(ws)]
+                        else:
+                            bl1 = aux1[0]
+                            prof_a = [jnp.maximum(bl1[nv + k], 0.0)
+                                      for k in range(ws)]
                         if ladder is not None:
                             # sfast: constant w-ladder in s-space;
                             # dK/dz = dK/ds * (1/b)
@@ -1342,6 +1395,7 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
                    salt_on: bool = False, with_scalars: bool = False,
                    salts=None, temps=None,
                    wxy=None, tis=None, tjs=None,
+                   rtab_aks=None,
                    interpret: bool = False):
     """Run one full external step in-kernel.
 
@@ -1387,10 +1441,15 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
     # block means (a (B, 2) SMEM prefetch operand pads its minor dim to
     # 128 and blows the 1 MB SMEM budget at 10M particles)
     # true data-lane count: rtab lanes are 128-padded; recover from the
-    # packed layout (nv core lanes + optional ws aks lanes)
-    ntot = (nv + (grid.ws if with_aks else 0)
+    # packed layout (nv core lanes + optional ws aks lanes; with the
+    # Aks SPLIT the aks lanes live in their own table/window)
+    aks_split = rtab_aks is not None
+    if aks_split:
+        assert with_aks and not with_scalars and wxy is None
+        assert precision == "pair2"
+    ntot = (nv + (grid.ws if (with_aks and not aks_split) else 0)
             + (2 * grid.us if with_scalars else 0))
-    salt0 = nv + (grid.ws if with_aks else 0)
+    salt0 = nv + (grid.ws if (with_aks and not aks_split) else 0)
     wy, wx = window
     align_x8 = HL > 128
     if align_x8 and wx < 16:
@@ -1417,7 +1476,7 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
                             ladder=ladder, behavior=behavior, beh=beh,
                             settle_on=settle_on, align_x8=align_x8,
                             salt_on=salt_on, salt0=salt0,
-                            curv_mode=curv_mode)
+                            curv_mode=curv_mode, aks_split=aks_split)
 
     fshape = jax.ShapeDtypeStruct((B, PS, 128), jnp.float32)
     ishape = jax.ShapeDtypeStruct((B, PS, 128), jnp.int32)
@@ -1435,8 +1494,8 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
         ] * n_in + [
             pl.BlockSpec(memory_space=pl.ANY),             # rtab (HBM)
             pl.BlockSpec(memory_space=pl.ANY),             # brows
-        ] + ([pl.BlockSpec(memory_space=pl.ANY)]           # wxy
-             if curv_mode else []),
+        ] + ([pl.BlockSpec(memory_space=pl.ANY)]           # wxy / aks
+             if (curv_mode or aks_split) else []),
         out_specs=[pl.BlockSpec((1, PS, 128), blk,
                                 memory_space=pltpu.VMEM)] * n_out,
         scratch_shapes=[
@@ -1446,8 +1505,11 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
             pltpu.VMEM((2, 3, wy, wx, HL), jnp.float32),
             pltpu.VMEM((2, wy, wx, BL), jnp.float32),
         ] + ([pltpu.VMEM((2, wy, wx, 128), jnp.float32)]
-             if curv_mode else []) + [
-            pltpu.SemaphoreType.DMA((2, 3 if curv_mode else 2)),
+             if curv_mode else []) + (
+            [pltpu.VMEM((2, 3, wy, wx, 128), jnp.float32)]
+            if aks_split else []) + [
+            pltpu.SemaphoreType.DMA(
+                (2, 3 if (curv_mode or aks_split) else 2)),
         ],
     )
 
@@ -1473,6 +1535,8 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
             rs(salts, jnp.float32), rs(temps, jnp.float32), rtab, brows]
     if curv_mode:
         ins.append(wxy)
+    if aks_split:
+        ins.append(rtab_aks)
     out_shape = [fshape, fshape, fshape]
     if curv_mode:
         out_shape += [fshape, fshape]

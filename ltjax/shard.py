@@ -516,9 +516,15 @@ def make_tiled_step(ctx: StepContext, cfg: Config, spec: TileSpec,
             prec_all = _pk.build_packed_records(grid_loc, fs_loc,
                                                 with_aks=mega_aks,
                                                 with_scalars=mega_sc)
-            rtab_all = _pk.build_record_tables(
-                grid_loc, prec_all,
-                paired=cfg.kernel_precision == "pair2")
+            aks_split = (mega_aks and not mega_sc
+                         and cfg.kernel_precision == "pair2")
+            if aks_split:
+                rtab_all = _pk.build_record_tables_split(grid_loc,
+                                                         prec_all)
+            else:
+                rtab_all = _pk.build_record_tables(
+                    grid_loc, prec_all,
+                    paired=cfg.kernel_precision == "pair2")
 
             def estep(carry, e):
                 pp, drops = carry
@@ -537,7 +543,11 @@ def make_tiled_step(ctx: StepContext, cfg: Config, spec: TileSpec,
                 prec3 = _pk.PackedRecords(tab=tab3, times=times3,
                                           with_aks=mega_aks,
                                           with_scalars=mega_sc)
-                rtab3 = lax.dynamic_slice_in_dim(rtab_all, e, 3, 0)
+                if aks_split:
+                    rtab3 = tuple(lax.dynamic_slice_in_dim(a, e, 3, 0)
+                                  for a in rtab_all)
+                else:
+                    rtab3 = lax.dynamic_slice_in_dim(rtab_all, e, 3, 0)
                 f3 = FieldSet(
                     *(lax.dynamic_slice_in_dim(a, e, 3, 0)
                       for a in fs_loc[:-1]), times=times3)

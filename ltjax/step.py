@@ -574,12 +574,18 @@ def make_fused_external_steps(ctx: StepContext, cfg: Config, base_key,
     wxy = (jnp.asarray(es.curv_xy_table(grid, ctx.bounds))
            if curv else None)
 
+    aks_split = (mega_aks and not mega_sc and not curv
+                 and cfg.kernel_precision == "pair2")
+
     @jax.jit
     def fused(p: st.Particles, fsR: FieldSet, t0, ext_idx0):
         prec_all = pk.build_packed_records(grid, fsR, with_aks=mega_aks,
                                            with_scalars=mega_sc)
-        rtab_all = pk.build_record_tables(
-            grid, prec_all, paired=cfg.kernel_precision == "pair2")
+        if aks_split:
+            rtab_all = pk.build_record_tables_split(grid, prec_all)
+        else:
+            rtab_all = pk.build_record_tables(
+                grid, prec_all, paired=cfg.kernel_precision == "pair2")
         if curv:
             # logical coordinates computed ONCE per fused call, then
             # CARRIED: the kernel outputs refreshed values and the
@@ -626,7 +632,11 @@ def make_fused_external_steps(ctx: StepContext, cfg: Config, base_key,
             prec3 = pk.PackedRecords(tab=tab3, times=times3,
                                      with_aks=mega_aks,
                                      with_scalars=mega_sc)
-            rtab3 = jax.lax.dynamic_slice_in_dim(rtab_all, e, 3, 0)
+            if aks_split:
+                rtab3 = tuple(jax.lax.dynamic_slice_in_dim(a, e, 3, 0)
+                              for a in rtab_all)
+            else:
+                rtab3 = jax.lax.dynamic_slice_in_dim(rtab_all, e, 3, 0)
             f3 = FieldSet(
                 *(jax.lax.dynamic_slice_in_dim(a, e, 3, 0)
                   for a in fsR[:-1]), times=times3)
@@ -683,9 +693,20 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
         tis = tis.astype(jnp.float32)
         tjs = tjs.astype(jnp.float32)
 
-    if rtab is None:
-        rtab = pk.build_record_tables(
-            grid, prec, paired=cfg.kernel_precision == "pair2")
+    # Aks-split kernel mode (build_record_tables_split): main tables
+    # stay 128-lane (16x8 window, 1x blend); the Visser profile gathers
+    # from its own paired window
+    aks_split = (prec.with_aks and not prec.with_scalars and not curv
+                 and cfg.kernel_precision == "pair2")
+    rtab_aks = None
+    if isinstance(rtab, tuple):
+        rtab, rtab_aks = rtab
+    elif rtab is None:
+        if aks_split:
+            rtab, rtab_aks = pk.build_record_tables_split(grid, prec)
+        else:
+            rtab = pk.build_record_tables(
+                grid, prec, paired=cfg.kernel_precision == "pair2")
     beh_swim = cfg.Behavior in (1, 2, 3, 4, 5)
     beh_any = cfg.Behavior in (1, 2, 3, 4, 5, 7)
     settle_on = cfg.settlementon and ctx.polys is not None
@@ -744,6 +765,7 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
         wxy=wxy,
         tis=padded(tis) if curv else None,
         tjs=padded(tjs) if curv else None,
+        rtab_aks=rtab_aks,
         interpret=interpret)
     if curv:
         (xo, yo, zo, sto, spolo, salo, temo, hitl, hitb, oob,

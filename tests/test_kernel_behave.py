@@ -346,3 +346,87 @@ def test_mega_tst_parity():
     np.testing.assert_allclose(np.asarray(yo)[ok], np.asarray(pp.y)[ok],
                                rtol=0, atol=1.0)
     assert np.array_equal(np.asarray(sto)[ok], np.asarray(pp.status)[ok])
+
+
+def test_mega_aks_split_matches_combined_and_xla():
+    """Round-5 Aks-split kernel mode (packed.build_record_tables_split):
+    the Visser profile gathered from the separate paired Aks window must
+    reproduce (a) the combined-table kernel and (b) the records-mode
+    XLA scan, for every in-window particle.  Interpret mode."""
+    dtype = jnp.float32
+    us = 4
+    c = synth.make_solid_body_case(nx=64, ny=64, us=us, lx=160e3,
+                                   ly=160e3, h0=50.0, omega=5e-5,
+                                   dtype=dtype)
+    fs = synth.fieldset_for(c, t_center=900.0, dt=1800.0, dtype=dtype)
+    z_w = 50.0 * np.asarray(c.grid.s_w)
+    K = 1e-4 + 4e-3 * (1.0 - (2.0 * z_w / 50.0 + 1.0) ** 2)
+    fs = fs._replace(aks=jnp.broadcast_to(
+        jnp.asarray(K, np.float32)[None, None, None, :],
+        fs.aks.shape))
+    grid = c.grid
+    bounds = bd.build_boundaries(np.asarray(grid.mask_rho),
+                                 np.asarray(grid.x_rho),
+                                 np.asarray(grid.y_rho))
+    ctx = StepContext(grid=grid, bounds=bounds, polys=None, holes=None)
+    cfg = Config(numpar=2048, dt=1800, idt=450, us=us, ws=us + 1,
+                 OpenOceanBoundary=True, dtype_pos="float32",
+                 reflect_iters=2, HTurbOn=True, ConstantHTurb=1.0,
+                 VTurbOn=True, readAks=True, kernel_block=256,
+                 kernel_precision="pair2")
+    n = cfg.numpar
+    n_int = cfg.internal_steps
+    rng_ = np.random.default_rng(3)
+    p = st.init_particles(rng_.uniform(60e3, 100e3, n),
+                          rng_.uniform(60e3, 100e3, n),
+                          rng_.uniform(-45.0, -5.0, n), dtype=dtype)
+    p = p._replace(status=jnp.full(n, st.ACTIVE, jnp.int32))
+    i, _ = locate(grid.x_rho, p.x, grid.uniform)
+    j, _ = locate(grid.y_rho, p.y, grid.uniform)
+    p, _ = spatial.sort_by_cell(p, i, j)
+
+    prec = pk.build_packed_records(grid, fs, with_aks=True)
+    brows = jnp.asarray(es.boundary_rows_table(bounds, grid.ny, grid.nx))
+    s_max = boundary_s_max(bounds)
+    params = es.params_array_ext(grid, bounds, cfg.z0, 0.0, fs.times,
+                                 float(cfg.idt), n_int,
+                                 const_hturb=cfg.ConstantHTurb)
+    rngk = es.rng_keys_array(jr.key(0), 0, n_int)
+    common = dict(
+        sigma=0.0, n_int=n_int, idt=float(cfg.idt), n_iter=2,
+        p_block=256, s_max=s_max, precision="pair2", open_exits=True,
+        pids=p.pid, rngk=rngk, hturb_on=True, vturb_on=True,
+        with_aks=True, interpret=True)
+
+    rt_main, rt_aks = pk.build_record_tables_split(grid, prec)
+    out_s = es.ext_step_fused(grid, rt_main, brows, params,
+                              p.x, p.y, p.z, p.dob, p.status,
+                              rtab_aks=rt_aks, **common)
+    rt_comb = pk.build_record_tables(grid, prec, paired=True)
+    out_c = es.ext_step_fused(grid, rt_comb, brows, params,
+                              p.x, p.y, p.z, p.dob, p.status, **common)
+
+    ok = ~(np.asarray(out_s[9]) | np.asarray(out_c[9]))
+    assert ok.sum() > 0.9 * n
+    # same RNG streams, same profile math -> near-identical trajectories
+    np.testing.assert_allclose(np.asarray(out_s[0])[ok],
+                               np.asarray(out_c[0])[ok], rtol=0,
+                               atol=0.2)
+    np.testing.assert_allclose(np.asarray(out_s[2])[ok],
+                               np.asarray(out_c[2])[ok], rtol=0,
+                               atol=2e-2)
+    assert np.array_equal(np.asarray(out_s[3])[ok],
+                          np.asarray(out_c[3])[ok])
+
+    # and vs the records-mode XLA scan on a subset
+    rft = pk.build_records_flat(grid, prec)
+    sub = jax.tree.map(lambda a: a[:512], p)
+    pp = sub
+    for ii in range(n_int):
+        pp = internal_step(ctx, cfg, jr.key(0), pp, fs,
+                           ii * float(cfg.idt), ii, rft, mode="records")
+    okr = ok[:512] & (np.asarray(pp.status) == st.ACTIVE)
+    np.testing.assert_allclose(np.asarray(out_s[0])[:512][okr],
+                               np.asarray(pp.x)[okr], rtol=0, atol=0.5)
+    np.testing.assert_allclose(np.asarray(out_s[2])[:512][okr],
+                               np.asarray(pp.z)[okr], rtol=0, atol=0.05)
