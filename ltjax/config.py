@@ -278,6 +278,14 @@ class Config:
     checkpoint_dir: str = "ckpt"
 
     # ---------------------------------------------------------------------
+    def needs_salt_fields(self) -> bool:
+        """Salt (and temp) fields/lanes are needed when sampling is on
+        OR a salinity-cued behavior (4/5) runs — the round-4 code keyed
+        everything on SaltTempOn alone, which crashed the megakernel at
+        trace time for Behavior 4/5 with SaltTempOn off and silently
+        zeroed the halocline cue on the XLA path."""
+        return self.SaltTempOn or self.Behavior in (4, 5)
+
     @property
     def external_steps(self) -> int:
         return int(round(self.days * 86400.0 / self.dt))
@@ -301,14 +309,18 @@ class Config:
             raise ValueError(f"Behavior must be in 0..7, got {self.Behavior}")
         if self.ws != self.us + 1:
             raise ValueError(f"ws ({self.ws}) must equal us+1 ({self.us + 1})")
-        if self.Behavior in (4, 5) and not (self.readSalt and self.SaltTempOn):
+        if self.Behavior in (4, 5) and not self.readSalt:
             # oyster-larva ontogenetic migration (types 4/5) cues on the
             # vertical salinity gradient (behavior_module.f90, SURVEY.md
-            # SS2.1 #8); without salt fields the cue is silently zero
+            # SS2.1 #8); without salt fields the cue is silently zero.
+            # (SaltTempOn is NOT required: needs_salt_fields() packs the
+            # salt lanes for the cue regardless of output sampling —
+            # the round-4 coupling crashed the megakernel at trace time
+            # for Behavior 4/5 with SaltTempOn off.)
             raise ValueError(
                 f"Behavior={self.Behavior} (salinity-cued ontogenetic "
-                "migration) requires readSalt and SaltTempOn — without "
-                "salt fields the dS/dz cue is identically zero")
+                "migration) requires readSalt — without salt fields "
+                "the dS/dz cue is identically zero")
 
 
 _FIELDS = {f.name.lower(): f.name for f in dataclasses.fields(Config)}

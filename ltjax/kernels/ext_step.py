@@ -385,7 +385,8 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                      ladder=None, behavior: int = 0, beh=None,
                      settle_on: bool = False, align_x8: bool = False,
                      salt_on: bool = False, salt0: int = 0,
-                     curv_mode: bool = False, aks_split: bool = False):
+                     curv_mode: bool = False, aks_split: bool = False,
+                     aux_n: int = 0):
     P = p_block
     PS = P // 128
     wy, wx = window
@@ -957,6 +958,38 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                 y1 = yv + sixth * (v1 + 2.0 * v2 + 2.0 * v3 + v4)
                 z1 = zv + sixth * (ww1 + 2.0 * ww2 + 2.0 * ww3 + ww4)
 
+                if aks_split and (vturb_aks or beh_salt):
+                    # AUX-split: blend the Aks/salt/temp profiles from
+                    # the separate paired aux window at the STAGE-1
+                    # position (one small pair_dot — the split keeps
+                    # the main tables at HL 128 / 16x8 windows /
+                    # 1x blend, see packed.build_record_tables_split)
+                    txa = ((xv - par_ref[_IDX_X0])
+                           * par_ref[_IDX_INVDX])
+                    tya = ((yv - par_ref[_IDX_Y0])
+                           * par_ref[_IDX_INVDY])
+                    ia = jnp.clip(jnp.floor(txa), 0.0, float(nx - 2))
+                    ja = jnp.clip(jnp.floor(tya), 0.0, float(ny - 2))
+                    fxa = jnp.clip(txa - ia, 0.0, 1.0)
+                    fya = jnp.clip(tya - ja, 0.0, 1.0)
+                    lia = jnp.clip(ia - ox_f, 0.0, float(wx - 1))
+                    lja = jnp.clip(ja - oy_f, 0.0, float(wy - 2))
+                    fyqa = (jnp.round(fya * 256.0)
+                            * jnp.float32(1.0 / 256.0))
+                    wta = make_rowpair_onehot(lia, lja, fyqa, P, wy, wx)
+                    wa3 = waks[pl.ds(bank, 1)][0]
+                    HLa = ((2 * aux_n + 63) // 64) * 64
+                    c_a = coef0 + 9 * i
+                    wac = (par_ref[c_a]
+                           * wa3[0].reshape(wc, 128)[:, :HLa]
+                           + par_ref[c_a + 1]
+                           * wa3[1].reshape(wc, 128)[:, :HLa]
+                           + par_ref[c_a + 2]
+                           * wa3[2].reshape(wc, 128)[:, :HLa])
+                    bla = pair_dot(wac, wta).reshape(HLa, PS, 128)
+                    auxbl1 = [bla[k] + fxa * (bla[aux_n + k] - bla[k])
+                              for k in range(aux_n)]
+
                 # --- turbulence (in-kernel Threefry; identical streams to
                 # ltjax.rng, so kernel and XLA-patch paths agree) ----------
                 if any_turb or beh_swim:
@@ -978,43 +1011,8 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                         # Visser RDM on the spline-fit Aks(z) profile
                         # (mirrors ltjax.physics.turb.vturb)
                         if aks_split:
-                            # gather the profile from the SPLIT Aks
-                            # window at the stage-1 position (same
-                            # pair2 row-blend scheme; one extra small
-                            # pair_dot per step instead of 2x-wide
-                            # main tables — BASELINE.md round-5)
-                            txa = ((xv - par_ref[_IDX_X0])
-                                   * par_ref[_IDX_INVDX])
-                            tya = ((yv - par_ref[_IDX_Y0])
-                                   * par_ref[_IDX_INVDY])
-                            ia = jnp.clip(jnp.floor(txa), 0.0,
-                                          float(nx - 2))
-                            ja = jnp.clip(jnp.floor(tya), 0.0,
-                                          float(ny - 2))
-                            fxa = jnp.clip(txa - ia, 0.0, 1.0)
-                            fya = jnp.clip(tya - ja, 0.0, 1.0)
-                            lia = jnp.clip(ia - ox_f, 0.0,
-                                           float(wx - 1))
-                            lja = jnp.clip(ja - oy_f, 0.0,
-                                           float(wy - 2))
-                            fyq = (jnp.round(fya * 256.0)
-                                   * jnp.float32(1.0 / 256.0))
-                            wta = make_rowpair_onehot(lia, lja, fyq,
-                                                      P, wy, wx)
-                            wa3 = waks[pl.ds(bank, 1)][0]
-                            HLa = ((2 * ws + 63) // 64) * 64
-                            c_a = coef0 + 9 * i
-                            wac = (par_ref[c_a]
-                                   * wa3[0].reshape(wc, 128)[:, :HLa]
-                                   + par_ref[c_a + 1]
-                                   * wa3[1].reshape(wc, 128)[:, :HLa]
-                                   + par_ref[c_a + 2]
-                                   * wa3[2].reshape(wc, 128)[:, :HLa])
-                            bla = pair_dot(wac, wta).reshape(
-                                HLa, PS, 128)
-                            prof_a = [jnp.maximum(
-                                bla[k] + fxa * (bla[ws + k] - bla[k]),
-                                0.0) for k in range(ws)]
+                            prof_a = [jnp.maximum(auxbl1[k], 0.0)
+                                      for k in range(ws)]
                         else:
                             bl1 = aux1[0]
                             prof_a = [jnp.maximum(bl1[nv + k], 0.0)
@@ -1098,9 +1096,15 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                     else:
                         # behaviors 4/5: salinity-gradient cue (mirrors
                         # physics.behavior; dS/dz via the constant-
-                        # ladder spline derivative on the salt lanes)
+                        # ladder spline derivative on the salt lanes —
+                        # from the aux window in split mode)
                         _, sq1, binv1 = aux1
-                        prof_s = [bl1v[salt0 + k] for k in range(us_)]
+                        if aks_split:
+                            prof_s = [auxbl1[salt0 + k]
+                                      for k in range(us_)]
+                        else:
+                            prof_s = [bl1v[salt0 + k]
+                                      for k in range(us_)]
                         z2sl = _fit_thomas_const_multi([prof_s], CR_k)[0]
                         dsdz = _eval_spline_deriv_const(
                             sq1, CR_k, prof_s, z2sl, ds) * binv1
@@ -1235,22 +1239,41 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
                 if pair2:
                     fy_q = jnp.round(fy * 256.0) * jnp.float32(1.0 / 256.0)
                     wtp = make_rowpair_onehot(li, lj, fy_q, P, wy, wx)
+                    in_main = salt_on and not aks_split
                     lanes = [w4[:, nv - 2:nv]]
-                    if salt_on:
+                    if in_main:
                         lanes.append(w4[:, salt0:salt0 + 2 * us_])
                     lanes.append(w4[:, ntot + nv - 2:ntot + nv])
-                    if salt_on:
+                    if in_main:
                         lanes.append(
                             w4[:, ntot + salt0:ntot + salt0 + 2 * us_])
-                    nl = 2 + (2 * us_ if salt_on else 0)
+                    nl = 2 + (2 * us_ if in_main else 0)
                     zh4 = pair_dot(jnp.concatenate(lanes, axis=1), wtp)
                     z4 = zh4.reshape(2 * nl, PS, 128)
                     zeta_p = z4[0] + fx * (z4[nl] - z4[0])
                     h_p = z4[1] + fx * (z4[nl + 1] - z4[1])
-                    if salt_on:
+                    if in_main:
                         # salt+temp profiles at the post-reflect column
                         stp = [z4[2 + k] + fx * (z4[nl + 2 + k]
                                                  - z4[2 + k])
+                               for k in range(2 * us_)]
+                    elif salt_on:
+                        # AUX-split: blend salt/temp from the aux
+                        # window at the STAGE-4 time with the SAME
+                        # (li, lj, fy_q) one-hot as zeta/h
+                        wa3s = waks[pl.ds(bank, 1)][0]
+                        HLa = ((2 * aux_n + 63) // 64) * 64
+                        c_s = coef0 + 9 * i + 6
+                        was = (par_ref[c_s]
+                               * wa3s[0].reshape(wc, 128)[:, :HLa]
+                               + par_ref[c_s + 1]
+                               * wa3s[1].reshape(wc, 128)[:, :HLa]
+                               + par_ref[c_s + 2]
+                               * wa3s[2].reshape(wc, 128)[:, :HLa])
+                        sts = pair_dot(was, wtp).reshape(HLa, PS, 128)
+                        stp = [sts[salt0 + k]
+                               + fx * (sts[aux_n + salt0 + k]
+                                       - sts[salt0 + k])
                                for k in range(2 * us_)]
                 else:
                     wt = make_bilinear_onehot(li, lj, fx, fy, P, wy, wx)
@@ -1444,12 +1467,19 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
     # packed layout (nv core lanes + optional ws aks lanes; with the
     # Aks SPLIT the aks lanes live in their own table/window)
     aks_split = rtab_aks is not None
+    aux_n = 0
     if aks_split:
-        assert with_aks and not with_scalars and wxy is None
+        assert (with_aks or with_scalars) and wxy is None
         assert precision == "pair2"
-    ntot = (nv + (grid.ws if (with_aks and not aks_split) else 0)
-            + (2 * grid.us if with_scalars else 0))
-    salt0 = nv + (grid.ws if (with_aks and not aks_split) else 0)
+        aux_n = ((grid.ws if with_aks else 0)
+                 + (2 * grid.us if with_scalars else 0))
+    ntot = nv if aks_split else (
+        nv + (grid.ws if with_aks else 0)
+        + (2 * grid.us if with_scalars else 0))
+    # lane offset of the salt profiles: within the AUX window (split)
+    # or within the main tables (combined)
+    salt0 = ((grid.ws if with_aks else 0) if aks_split
+             else nv + (grid.ws if with_aks else 0))
     wy, wx = window
     align_x8 = HL > 128
     if align_x8 and wx < 16:
@@ -1476,7 +1506,8 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
                             ladder=ladder, behavior=behavior, beh=beh,
                             settle_on=settle_on, align_x8=align_x8,
                             salt_on=salt_on, salt0=salt0,
-                            curv_mode=curv_mode, aks_split=aks_split)
+                            curv_mode=curv_mode, aks_split=aks_split,
+                            aux_n=aux_n)
 
     fshape = jax.ShapeDtypeStruct((B, PS, 128), jnp.float32)
     ishape = jax.ShapeDtypeStruct((B, PS, 128), jnp.int32)

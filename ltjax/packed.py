@@ -633,24 +633,27 @@ def build_record_tables(grid: Grid, rec: PackedRecords,
 
 
 def build_record_tables_split(grid: Grid, rec: PackedRecords):
-    """(main, aks) paired record tables for the Aks-SPLIT megakernel.
+    """(main, aux) paired record tables for the AUX-SPLIT megakernel.
 
-    Packing the ws Aks lanes INTO the main record tables pushes the
-    paired row width past 128 lanes (2*(63+21) = 168 -> HL 256), which
-    forces 8-aligned window DMA origins, a 16x16 window, and ~3x the
-    blend MXU flops — the measured 0.50x turb-vs-advect tax
-    (BASELINE.md).  The Visser term only needs the Aks PROFILE once per
-    internal step (at the stage-1 position), so the kernel gathers it
-    from a SEPARATE paired 128-lane table with one extra small pair_dot
-    — and the main tables stay at HL 128 (16x8 window, 1x blend).
+    Packing the Aks / salt / temp lanes INTO the main record tables
+    pushes the paired row width past 128 lanes (e.g. 2*(63+21) = 168
+    -> HL 256 for Aks alone), which forces 8-aligned window DMA
+    origins, a 16x16 window, and ~3x the blend MXU flops — the
+    measured 0.50x turb / 0.45x salt vs-advect tax (BASELINE.md).  The
+    consumers only need these PROFILES once or twice per internal step
+    (Visser + the salinity cue at the stage-1 position; SaltTempOn
+    sampling at the post-step column), so the kernel gathers them from
+    a SEPARATE paired table with one small pair_dot per use — and the
+    main tables stay at HL 128 (16x8 window, 1x blend).  Even Aks AND
+    salt+temp together fit one aux table: (21 + 40) paired = 122
+    lanes.
     """
     nv = n_value_lanes(grid.us, grid.ws)
-    assert rec.with_aks and not rec.with_scalars
+    assert rec.with_aks or rec.with_scalars
     main = PackedRecords(tab=rec.tab[..., :nv], times=rec.times)
-    aks = PackedRecords(tab=rec.tab[..., nv:nv + grid.ws],
-                        times=rec.times)
+    aux = PackedRecords(tab=rec.tab[..., nv:], times=rec.times)
     return (build_record_tables(grid, main, paired=True),
-            build_record_tables(grid, aks, paired=True))
+            build_record_tables(grid, aux, paired=True))
 
 
 def stage_value_tables(grid: Grid, rec: PackedRecords, t, idt: float):

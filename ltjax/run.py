@@ -283,7 +283,7 @@ def run(cfg: Config, resume: bool = False,
                 window.pop(0)
                 win_start += 1
             fsW = stack_records(window[:E + 2], t_base, field_dtype,
-                                with_salt_temp=cfg.SaltTempOn)
+                                with_salt_temp=cfg.needs_salt_fields())
             timing.add("hydro_read", time.perf_counter() - tw)
 
             # --- compute E external steps --------------------------------
@@ -529,7 +529,7 @@ def run_sharded(cfg: Config, resume: bool = False,
                 window.pop(0)
                 win_start += 1
             fsW = stack_records(window[:E + 2], t_base, field_dtype,
-                                with_salt_temp=cfg.SaltTempOn)
+                                with_salt_temp=cfg.needs_salt_fields())
             if eta_rows is None:
                 fsW = shard.pad_fieldset_eta(fsW, spec.ny_pad)
             else:

@@ -460,7 +460,7 @@ def make_tiled_step(ctx: StepContext, cfg: Config, spec: TileSpec,
     dt = float(cfg.dt)
     use_mega = mega is not None and (interpret or mode_flags(ctx, cfg)[2])
     mega_aks = cfg.VTurbOn and cfg.readAks
-    mega_sc = cfg.SaltTempOn
+    mega_sc = cfg.needs_salt_fields()
     s_max = boundary_s_max(ctx.bounds) if use_mega else 0
 
     fs_specs = FieldSet(
@@ -516,7 +516,7 @@ def make_tiled_step(ctx: StepContext, cfg: Config, spec: TileSpec,
             prec_all = _pk.build_packed_records(grid_loc, fs_loc,
                                                 with_aks=mega_aks,
                                                 with_scalars=mega_sc)
-            aks_split = (mega_aks and not mega_sc
+            aks_split = ((mega_aks or mega_sc)
                          and cfg.kernel_precision == "pair2")
             if aks_split:
                 rtab_all = _pk.build_record_tables_split(grid_loc,

@@ -493,7 +493,7 @@ def make_external_step(ctx: StepContext, cfg: Config, base_key):
                if ctx.grid.curv is not None else None)
 
     mega_aks = use_mega and cfg.VTurbOn and cfg.readAks
-    mega_sc = use_mega and cfg.SaltTempOn
+    mega_sc = use_mega and cfg.needs_salt_fields()
 
     @jax.jit
     def ext_step(p: st.Particles, fields: FieldSet, t0, ext_idx):
@@ -566,7 +566,7 @@ def make_fused_external_steps(ctx: StepContext, cfg: Config, base_key,
     dt = float(cfg.dt)
     curv = grid.curv is not None
     mega_aks = cfg.VTurbOn and cfg.readAks
-    mega_sc = cfg.SaltTempOn
+    mega_sc = cfg.needs_salt_fields()
     brows = jnp.asarray(es.boundary_rows_table(
         ctx.bounds, grid.ny, grid.nx,
         polys=ctx.polys if cfg.settlementon else None, holes=ctx.holes))
@@ -574,7 +574,7 @@ def make_fused_external_steps(ctx: StepContext, cfg: Config, base_key,
     wxy = (jnp.asarray(es.curv_xy_table(grid, ctx.bounds))
            if curv else None)
 
-    aks_split = (mega_aks and not mega_sc and not curv
+    aks_split = ((mega_aks or mega_sc) and not curv
                  and cfg.kernel_precision == "pair2")
 
     @jax.jit
@@ -696,7 +696,7 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
     # Aks-split kernel mode (build_record_tables_split): main tables
     # stay 128-lane (16x8 window, 1x blend); the Visser profile gathers
     # from its own paired window
-    aks_split = (prec.with_aks and not prec.with_scalars and not curv
+    aks_split = ((prec.with_aks or prec.with_scalars) and not curv
                  and cfg.kernel_precision == "pair2")
     rtab_aks = None
     if isinstance(rtab, tuple):

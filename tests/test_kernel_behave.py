@@ -430,3 +430,35 @@ def test_mega_aks_split_matches_combined_and_xla():
                                np.asarray(pp.x)[okr], rtol=0, atol=0.5)
     np.testing.assert_allclose(np.asarray(out_s[2])[:512][okr],
                                np.asarray(pp.z)[okr], rtol=0, atol=0.05)
+
+
+def test_behavior4_without_salttempon_runs_mega():
+    """Round-4 latent bug: Behavior 4/5 with SaltTempOn OFF crashed the
+    megakernel at trace time (salt lanes were keyed on SaltTempOn
+    alone; cfg.needs_salt_fields() now packs them for the cue
+    regardless of output sampling)."""
+    c = synth.make_solid_body_case(nx=33, ny=33, us=4, lx=80e3, ly=80e3,
+                                   h0=50.0, omega=5e-5, dtype=jnp.float32)
+    fsR = synth.fieldset_window(c, -900.0, 1800.0, 3, dtype=jnp.float32)
+    grid = c.grid
+    bounds = bd.build_boundaries(np.asarray(grid.mask_rho),
+                                 np.asarray(grid.x_rho),
+                                 np.asarray(grid.y_rho))
+    ctx = StepContext(grid=grid, bounds=bounds, polys=None, holes=None)
+    cfg = Config(numpar=512, dt=1800, idt=450, us=4, ws=5, readSalt=True,
+                 Behavior=4, SaltTempOn=False, swimslow=1e-3,
+                 swimfast=3e-3, pediage=5e6, Sgradient=0.5,
+                 dtype_pos="float32", kernel_block=256,
+                 kernel_precision="pair2", oob_frac=1)
+    cfg.validate()
+    from ltjax.step import make_fused_external_steps
+    rng_ = np.random.default_rng(0)
+    p = st.init_particles(rng_.uniform(20e3, 60e3, 512),
+                          rng_.uniform(20e3, 60e3, 512),
+                          rng_.uniform(-40, -5, 512), dtype=jnp.float32)
+    p = p._replace(status=jnp.full(512, st.ACTIVE, jnp.int32))
+    f = make_fused_external_steps(ctx, cfg, jr.key(0), 1, interpret=True)
+    out = f(p, fsR, 0.0, 0)
+    assert int(jnp.sum(out.status == st.ACTIVE)) == 512
+    # salt must NOT be sampled into the output (SaltTempOn off)
+    assert float(jnp.abs(out.salt).max()) == 0.0

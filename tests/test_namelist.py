@@ -61,6 +61,7 @@ def test_validate_behavior_salt_requirement():
 
     with pytest.raises(ValueError, match="readSalt"):
         Config(Behavior=4).validate()
-    with pytest.raises(ValueError, match="readSalt"):
-        Config(Behavior=5, readSalt=True).validate()  # SaltTempOn off
+    # SaltTempOn is no longer required (round 5: needs_salt_fields()
+    # packs the cue lanes independently of output sampling)
+    Config(Behavior=5, readSalt=True).validate()
     Config(Behavior=4, readSalt=True, SaltTempOn=True).validate()

@@ -267,3 +267,10 @@ def test_mega_curvilinear_on_chip():
     real chip vs the records-mode XLA scan on the estuary-like analytic
     mesh (bench 'curv' config shapes)."""
     _run_mega_vs_scan("curv", atol_xy=3.0, atol_z=0.05)
+
+
+def test_mega_turb_aks_split_on_chip():
+    """The PRODUCTION turb path (round-5 Aks-split kernel: separate
+    paired Aks window, 16x8 main window) on the real chip vs the
+    records-mode XLA scan."""
+    _run_mega_vs_scan("turb", atol_xy=3.0, atol_z=0.08)
