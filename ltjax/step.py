@@ -338,17 +338,21 @@ def resolve_oob_frac(cfg: Config, ctx: StepContext,
         return cfg.oob_frac
     import numpy as np
     n = cfg.numpar
-    # base n/32 (~3.1%): the cond-gated patch chunks make UNUSED
-    # capacity nearly free (only chunks the actual miss count reaches
-    # ever run), so the base sizes for the transients long runs
-    # develop — vertical mixing / sinking walks particles into the
-    # bottom log layer where decelerating blocks disperse (measured:
-    # a 96-ext-step turbulent chain overflowed the old n/64)
-    frac = 32
-    if (cfg.Behavior == 6 and cfg.sink > 0
-            and float(cfg.sink) * float(cfg.dt) >= 1.0):
-        # strong sinking fronts peak near 2-3% misses mid-transit
-        frac = 16
+    # base n/64 (~1.6%): clearly above the ~0.9% steady miss rate of
+    # pure advection (capacity is NOT free — doubling it cost the
+    # advect bench ~4% even with the tail chunks cond-skipped, mostly
+    # in the fixed-size compaction bookkeeping).  Configs with
+    # VERTICAL spread get n/32: mixing / swimming / sinking walks
+    # particles into the bottom log layer over long runs, where
+    # decelerating blocks disperse (measured: a 96-ext-step turbulent
+    # chain overflowed n/64); strong sinking fronts peak near 2-3%
+    # misses mid-transit and get n/16 (both validated on-chip,
+    # BASELINE.md).
+    frac = 64
+    if cfg.VTurbOn or cfg.Behavior in (1, 2, 3, 4, 5):
+        frac = 32
+    if cfg.Behavior == 6 and cfg.sink > 0:
+        frac = (16 if float(cfg.sink) * float(cfg.dt) >= 1.0 else 32)
     cap = max(256, n // frac)
     if cfg.settlementon and ctx.polys is not None:
         from .kernels import ext_step as es
