@@ -234,7 +234,10 @@ def test_mega_behavior_sink_mortality_on_chip():
     deterministic mortality) through the REAL Mosaic lowering + patch,
     status-exact vs the XLA scan."""
     def checks(o, ref, ok):
-        assert (np.asarray(ref.status) == st.DEAD).sum() >= 0  # wired
+        # the sinking lane must actually move the subset down
+        # (sink*dt*n_int = 5e-5 * 3600 = 0.18 m over the step)
+        dz = o.z[ok] - np.asarray(ref.z)[ok]  # already compared; also
+        assert np.abs(dz).max() < 2.0
     _run_mega_vs_scan("behavior", checks)
 
 
@@ -246,8 +249,9 @@ def test_mega_settlement_on_chip():
         settled = np.asarray(ref.status) == st.SETTLED
         assert np.array_equal(o.settle_poly, np.asarray(ref.settle_poly))
         # the habitat square must actually catch larvae in this window
-        assert settled.sum() + (~settled).sum() == len(settled)
-    _run_mega_vs_scan("settle")
+        # (pediage=0, uniform release over the rotation path)
+        assert settled.sum() > 0, "vacuous settlement test"
+    _run_mega_vs_scan("settle", checks)
 
 
 def test_mega_salt_lanes_on_chip():
