@@ -905,7 +905,7 @@ def _make_ext_kernel(grid: Grid, sigma: float, idt: float, nv: int,
 
                 w1 = win_at(0)
                 if curv_mode:
-                    if vturb_aks:
+                    if vturb_aks or beh_swim or beh_tst:
                         u1, v1, ww1, oob1, aux1 = stage_eval(
                             par_ref, oy_f, ox_f, w1, tiv, tjv, zv, oob,
                             extras=True)
@@ -1491,10 +1491,12 @@ def ext_step_fused(grid: Grid, rtab, brows, params, x, y, z, dob, status,
     ladder = affine_ladders(grid) if sfast else None
     curv_mode = wxy is not None
     if curv_mode:
-        # the curv kernel covers passive/sinking transport (+turbulence
-        # +mortality); swimming behaviors, settlement and salt sampling
-        # drop to the per-step XLA path (step.mode_flags gates them)
-        assert behavior in (0, 6) and not settle_on and not salt_on
+        # the curv kernel covers passive/sinking transport, turbulence,
+        # mortality, the salt-free swimming behaviors (1-3) and TST
+        # (7); salinity-cued behaviors (4/5), settlement and salt
+        # sampling drop to the per-step XLA path (step.mode_flags)
+        assert behavior in (0, 1, 2, 3, 6, 7)
+        assert not settle_on and not salt_on
         assert tis is not None and tjs is not None
     kern = _make_ext_kernel(grid, float(sigma), float(idt), nv, ntot,
                             HL, BL, n_int, n_iter, P_, precision,

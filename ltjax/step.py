@@ -415,7 +415,7 @@ def mode_flags(ctx: StepContext, cfg: Config):
                      and cfg.kernel_precision == "pair2"
                      and cfg.kernel_sfast
                      and _affine_ladders(ctx.grid) is not None
-                     and cfg.Behavior in (0, 6)
+                     and cfg.Behavior in (0, 1, 2, 3, 6, 7)
                      and not cfg.settlementon and not cfg.SaltTempOn
                      and not (cfg.mortality and cfg.stochastic_mortality))
     # the whole-external-step megakernel covers advection + boundary +

@@ -408,3 +408,61 @@ def test_curv_dp_sharded_matches_unsharded(curv_case):
                                rtol=0, atol=1e-8)
     np.testing.assert_allclose(np.asarray(out.z)[o], np.asarray(ref.z)[r],
                                rtol=0, atol=1e-10)
+
+
+@pytest.mark.parametrize("behavior", [1, 3])
+def test_curv_megakernel_swimming_behaviors(curv_case, behavior):
+    """Round-5 widening: the curvilinear megakernel covers the
+    salt-free swimming behaviors (zone-biased walks, DVM) — fused
+    driver (interpret) vs the collapsed XLA scan, statuses exact."""
+    import jax.random as jr
+    from ltjax import packed as pk
+    from ltjax import state as st
+    from ltjax.config import Config
+    from ltjax.fields import FieldSet
+    from ltjax.step import (StepContext, internal_step,
+                            make_fused_external_steps)
+
+    dtype = jnp.float32
+    g = curv_case.grid
+    bounds = bd.build_boundaries_curv(np.asarray(g.mask_rho),
+                                      curv_case.x2d, curv_case.y2d,
+                                      g.curv)
+    ctx = StepContext(grid=g, bounds=bounds, polys=None, holes=None)
+    cfg = Config(numpar=512, dt=1800, idt=450, us=8, ws=9,
+                 OpenOceanBoundary=True, dtype_pos="float32",
+                 reflect_iters=2, kernel_precision="pair2",
+                 Behavior=behavior, swimslow=1e-3, swimfast=3e-3,
+                 pediage=5e6, mortality=True, deadage=5e6,
+                 kernel_block=256, oob_frac=1)
+    fsR = synth.fieldset_window(curv_case, -900.0, 1800.0, 3,
+                                dtype=dtype)
+    rng = np.random.default_rng(7)
+    n = cfg.numpar
+    p0 = st.init_particles(rng.uniform(30e3, 70e3, n),
+                           rng.uniform(30e3, 70e3, n),
+                           rng.uniform(-40.0, -5.0, n), dtype=dtype)
+    p0 = p0._replace(status=jnp.full(n, st.ACTIVE, jnp.int32))
+
+    fused = make_fused_external_steps(ctx, cfg, jr.key(0), 1,
+                                      interpret=True)
+    out = fused(p0, fsR, 0.0, 0)
+
+    pp = p0
+    fs3 = FieldSet(*(a[:3] for a in fsR[:-1]), times=fsR.times[:3])
+    prec = pk.build_packed_records(g, fs3)
+    for ii in range(cfg.internal_steps):
+        pp = internal_step(ctx, cfg, jr.key(0), pp, fs3,
+                           ii * float(cfg.idt), ii, prec,
+                           mode="collapsed")
+
+    o = np.argsort(np.asarray(out.pid))
+    r = np.argsort(np.asarray(pp.pid))
+    np.testing.assert_array_equal(np.asarray(out.status)[o],
+                                  np.asarray(pp.status)[r])
+    ok = np.asarray(pp.status)[r] == st.ACTIVE
+    np.testing.assert_allclose(np.asarray(out.x)[o][ok],
+                               np.asarray(pp.x)[r][ok], rtol=0, atol=1.0)
+    np.testing.assert_allclose(np.asarray(out.z)[o][ok],
+                               np.asarray(pp.z)[r][ok], rtol=0,
+                               atol=2e-3)
