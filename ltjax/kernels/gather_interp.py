@@ -296,25 +296,33 @@ def _fit_thomas_const_groups(groups):
             chains.append(dict(yk=yk, C=C, K=K))
     zero = jnp.zeros_like(chains[0]["yk"][0])
     Kmax = max(c["K"] for c in chains)
-    # rhs slopes
+    # raw value differences (the 1/h slope normalization folds into
+    # the forward-sweep constants below — saves one multiply per knot
+    # per profile vs materializing dy = e * inv_h first)
     for c in chains:
-        inv_hs = c["C"]["inv_hs"]
-        c["dy"] = [(c["yk"][k + 1] - c["yk"][k]) * inv_hs[k]
-                   for k in range(c["K"] - 1)]
+        c["e"] = [c["yk"][k + 1] - c["yk"][k]
+                  for k in range(c["K"] - 1)]
         c["dp"] = [zero] * c["K"]
         c["z2"] = [zero] * c["K"]
         c["x"] = zero
-    # forward sweep, knot-outer / chain-inner
+    # forward sweep, knot-outer / chain-inner:
+    #   dp[i] = (dy[i] - dy[i-1] - off[i-1]*dp[i-1]) * invs[i]
+    #         = e[i]*(inv_h[i]*invs[i]) - e[i-1]*(inv_h[i-1]*invs[i])
+    #           - (off[i-1]*invs[i]) * dp[i-1]
+    # with every parenthesized factor a compile-time scalar (value
+    # differences are ulp-level reassociation only)
     for i in range(1, Kmax - 1):
         for c in chains:
             if i >= c["K"] - 1:
                 continue
+            inv_hs = c["C"]["inv_hs"]
             off = c["C"]["off"]
             invs = c["C"]["invs"]
-            t = c["dy"][i] - c["dy"][i - 1]
+            t = (c["e"][i] * (inv_hs[i] * invs[i])
+                 - c["e"][i - 1] * (inv_hs[i - 1] * invs[i]))
             if i > 1:
-                t = t - off[i - 1] * c["dp"][i - 1]
-            c["dp"][i] = t * invs[i]
+                t = t - (off[i - 1] * invs[i]) * c["dp"][i - 1]
+            c["dp"][i] = t
     # backward sweep, knot-outer / chain-inner (descending offset from
     # each chain's own end so within-chain order is unchanged)
     for step in range(Kmax - 2):
