@@ -157,11 +157,15 @@ class Config:
                                   #   engages on TPU with f32 positions on
                                   #   a uniform grid, else falls back to
                                   #   the packed path
-    kernel_block: int = 1024      # particles per fused-kernel block
-                                  #   (matched to the 16x8 window: a
-                                  #   1024-block covers ~41 cells at
-                                  #   bench density — bbox ~4.5x9 under
-                                  #   the aspect-matched Hilbert sort)
+    kernel_block: int = 0         # particles per fused-kernel block;
+                                  #   0 (default) = AUTO from particle
+                                  #   density (step.resolve_kernel_block:
+                                  #   blocks sized to cover ~41 cells —
+                                  #   1024 at the 1M-bench 25/cell,
+                                  #   floor 256 for sparse runs whose
+                                  #   blocks would otherwise span
+                                  #   several windows).  Set > 0 to
+                                  #   override
     kernel_precision: str = "pair2"  # MXU one-hot blend scheme/precision:
                                   #   "pair2" = pair-packed rows +
                                   #   bf16-exact row weights, 2 passes,

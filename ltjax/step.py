@@ -162,7 +162,8 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
         # margins and floods the overflow patch
         dxa, dya, dza, adv_err = _rk4_fused_padded(
             grid, tabs, p.x, p.y, p.z, cfg.tension_sigma, cfg.z0,
-            float(cfg.idt), cfg.kernel_block, _per_step_precision(cfg),
+            float(cfg.idt), resolve_kernel_block(cfg, ctx),
+            _per_step_precision(cfg),
             window=(cfg.kernel_wy, max(cfg.kernel_wx, 16)),
             fast_math=cfg.kernel_fast_math, sfast=cfg.kernel_sfast)
     elif fast and mode == "records":
@@ -306,6 +307,26 @@ def internal_step(ctx: StepContext, cfg: Config, base_key,
         hit_land=hit_land, hit_bottom=hit_bottom, salt=salt, temp=temp)
 
 
+def resolve_kernel_block(cfg: Config, ctx: StepContext) -> int:
+    """Auto-size the fused-kernel particle block from the PARTICLE
+    DENSITY (cfg.kernel_block > 0 overrides).
+
+    The VMEM window scheme needs each Hilbert-sorted block to cover
+    well under a window's worth of cells.  The measured sweet spot
+    (BASELINE.md round-4 sweep) is blocks spanning ~41 cells — at the
+    1M-bench density (25/cell) that is the production p_block 1024; at
+    LOW densities a fixed 1024 makes blocks span several windows and
+    ~everything misses into the patch (a 200k-particle run on the
+    200x200 grid errored 91% of its particles before this rule)."""
+    if cfg.kernel_block > 0:
+        return cfg.kernel_block
+    import numpy as np
+    water = max(int(np.asarray(ctx.bounds.water).sum()), 1)
+    density = cfg.numpar / water
+    pb = (int(41 * density) // 128) * 128
+    return max(256, min(1024, pb))
+
+
 def resolve_oob_frac(cfg: Config, ctx: StepContext,
                      x0=None, y0=None) -> int:
     """Auto-size the exact-recompute patch capacity from the config
@@ -353,6 +374,12 @@ def resolve_oob_frac(cfg: Config, ctx: StepContext,
         frac = 32
     if cfg.Behavior == 6 and cfg.sink > 0:
         frac = (16 if float(cfg.sink) * float(cfg.dt) >= 1.0 else 32)
+    # low particle density makes Hilbert runs ragged and raises the
+    # steady miss rate even at the auto-sized kernel block (round-4
+    # host window sim) — give sparse runs double capacity
+    water = max(int(np.asarray(ctx.bounds.water).sum()), 1)
+    if n / water < 8.0:
+        frac = min(frac, 16)
     cap = max(256, n // frac)
     if cfg.settlementon and ctx.polys is not None:
         from .kernels import ext_step as es
@@ -690,7 +717,7 @@ def _mega_external_step(ctx: StepContext, cfg: Config, base_key,
     n_int = cfg.internal_steps
     idt = float(cfg.idt)
     n = p.n
-    pb = cfg.kernel_block
+    pb = resolve_kernel_block(cfg, ctx)
     pad = (-n) % pb
     if curv and tis is None:
         tis, tjs = logical_coords(grid, p.x, p.y)
