@@ -128,3 +128,37 @@ def test_step_clean_under_debug_nans():
         jax.config.update("jax_debug_nans", False)
     assert np.isfinite(np.asarray(p1.x)).all()
     assert np.isfinite(np.asarray(p1.z)).all()
+
+
+def test_resolve_kernel_block_and_capacity_density_rules():
+    """Auto-tuning rules (round 5): kernel blocks sized to ~41 cells of
+    particle density (sparse runs floor at 256 — the fixed 1024 made a
+    5/cell production run error 91% of its particles), and sparse runs
+    get the n/16 patch-capacity tier."""
+    import numpy as np
+    from ltjax import synth
+    from ltjax.config import Config
+    from ltjax.physics import boundary as bd
+    from ltjax.step import (StepContext, resolve_kernel_block,
+                            resolve_oob_frac)
+
+    case = synth.make_solid_body_case(nx=200, ny=200, us=4, lx=200e3,
+                                      ly=200e3, h0=50.0, omega=5e-5)
+    bounds = bd.build_boundaries(np.asarray(case.grid.mask_rho),
+                                 np.asarray(case.grid.x_rho),
+                                 np.asarray(case.grid.y_rho))
+    ctx = StepContext(grid=case.grid, bounds=bounds, polys=None,
+                      holes=None)
+    # bench density (25/cell) -> the production 1024 block
+    assert resolve_kernel_block(Config(numpar=1_000_000), ctx) == 1024
+    # 10M clamps at 1024
+    assert resolve_kernel_block(Config(numpar=10_000_000), ctx) == 1024
+    # sparse (5/cell) -> floor 256
+    assert resolve_kernel_block(Config(numpar=200_000), ctx) == 256
+    # explicit override wins
+    assert resolve_kernel_block(Config(numpar=200_000,
+                                       kernel_block=512), ctx) == 512
+    # sparse capacity tier: 200k at 5/cell -> n/16
+    assert resolve_oob_frac(Config(numpar=200_000), ctx) == 16
+    # dense advect keeps the n/64 base
+    assert resolve_oob_frac(Config(numpar=1_000_000), ctx) == 64
